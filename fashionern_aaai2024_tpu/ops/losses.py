@@ -1,0 +1,135 @@
+"""Batch-based classification (in-batch-negative contrastive) loss.
+
+Reference semantics (`losses/loss.py:6-14`): logits = 100 · pred @ tarᵀ,
+labels = arange(B), cross-entropy. Temperature fixed at 100. The
+reference computes this **per DDP rank** — negatives are local only.
+
+Here:
+  * `negatives="local"` reproduces that exactly (per mesh-shard batch).
+  * `negatives="global"` all-gathers target features over the `data`
+    axis so every query scores against the full global batch — the
+    TPU-idiomatic improvement (flag-gated, off by default for parity).
+
+Forward runs as a fused Pallas kernel (logits tile + online log-sum-exp
+in VMEM, B×B never written to HBM); backward recomputes the softmax via
+two XLA matmuls (cheap at these sizes, keeps the VJP simple).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fashionern_aaai2024_tpu.ops.common import round_up, use_pallas
+
+TEMPERATURE = 100.0
+_ROW_TILE = 128
+
+
+def _bbc_fwd_kernel(pred_ref, tar_ref, loss_ref, *, valid_rows: int, temp: float):
+    i = pl.program_id(0)
+    pred = pred_ref[:].astype(jnp.float32)          # [T, d]
+    tar = tar_ref[:].astype(jnp.float32)            # [Bp, d]
+    t, _ = pred.shape
+    bp = tar.shape[0]
+    s = jax.lax.dot_general(
+        pred, tar, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * temp                                        # [T, Bp]
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, bp), 1)
+    row_global = jax.lax.broadcasted_iota(jnp.int32, (t, bp), 0) + i * t
+    s = jnp.where(col < valid_rows, s, -1e30)       # mask padded targets
+    m = jnp.max(s, axis=-1, keepdims=True)
+    lse = m[:, 0] + jnp.log(jnp.sum(jnp.exp(s - m), axis=-1))
+    diag = jnp.sum(jnp.where(col == row_global, s, 0.0), axis=-1)
+    loss_ref[:] = lse - diag                        # [T]
+
+
+@functools.partial(jax.jit, static_argnames=("temp", "interpret"))
+def _bbc_rowloss_pallas(pred, tar, temp: float, interpret: bool = False):
+    b, d = pred.shape
+    bp = round_up(b, _ROW_TILE)
+    dp = round_up(d, 128)
+    predp = jnp.pad(pred, ((0, bp - b), (0, dp - d)))
+    tarp = jnp.pad(tar, ((0, bp - b), (0, dp - d)))
+    tile = min(_ROW_TILE, bp)
+    out = pl.pallas_call(
+        functools.partial(_bbc_fwd_kernel, valid_rows=b, temp=temp),
+        out_shape=jax.ShapeDtypeStruct((bp,), jnp.float32),
+        grid=(bp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(predp, tarp)
+    return out[:b]
+
+
+def _bbc_rowloss_ref(pred, tar, temp):
+    s = temp * jnp.dot(pred.astype(jnp.float32), tar.astype(jnp.float32).T)
+    lse = jax.nn.logsumexp(s, axis=-1)
+    diag = jnp.diagonal(s)
+    return lse - diag
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _bbc_mean_loss(pred, tar, temp):
+    return jnp.mean(_bbc_rowloss_ref(pred, tar, temp))
+
+
+def _bbc_fwd(pred, tar, temp):
+    if use_pallas():
+        row = _bbc_rowloss_pallas(pred, tar, temp)
+    else:
+        row = _bbc_rowloss_ref(pred, tar, temp)
+    return jnp.mean(row), (pred, tar)
+
+
+def _bbc_bwd(temp, res, g):
+    pred, tar = res
+    b = pred.shape[0]
+    predf = pred.astype(jnp.float32)
+    tarf = tar.astype(jnp.float32)
+    s = temp * jnp.dot(predf, tarf.T)
+    p = jax.nn.softmax(s, axis=-1)
+    delta = p - jnp.eye(b, dtype=jnp.float32)
+    coeff = g * temp / b
+    dpred = coeff * jnp.dot(delta, tarf)
+    dtar = coeff * jnp.dot(delta.T, predf)
+    return dpred.astype(pred.dtype), dtar.astype(tar.dtype)
+
+
+_bbc_mean_loss.defvjp(_bbc_fwd, _bbc_bwd)
+
+
+def batch_based_classification_loss(
+    predicted: jnp.ndarray,
+    target: jnp.ndarray,
+    *,
+    temperature: float = TEMPERATURE,
+    negatives: str = "local",
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """Mean CE over in-batch negatives.
+
+    With `negatives="global"` and an `axis_name` (inside pjit/shard_map),
+    target features are all-gathered over the mesh axis and each local
+    query's positive lands at its global row index.
+    """
+    if negatives == "global" and axis_name is not None:
+        gathered = jax.lax.all_gather(target, axis_name, axis=0, tiled=True)
+        idx = jax.lax.axis_index(axis_name)
+        b = predicted.shape[0]
+        s = temperature * jnp.dot(
+            predicted.astype(jnp.float32), gathered.astype(jnp.float32).T
+        )
+        labels = idx * b + jnp.arange(b)
+        lse = jax.nn.logsumexp(s, axis=-1)
+        pos = jnp.take_along_axis(s, labels[:, None], axis=-1)[:, 0]
+        return jnp.mean(lse - pos)
+    return _bbc_mean_loss(predicted, target, temperature)

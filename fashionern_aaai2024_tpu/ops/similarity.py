@@ -1,0 +1,84 @@
+"""Retrieval similarity + top-k.
+
+The reference materializes the full Q×N distance matrix and argsorts it
+(`run/valid/validate_fiq.py:34-35`) — O(Q·N) HBM and an O(N log N) sort
+per query. All its metrics need at most the top 51 rows (R@50 plus
+CIRR's drop-the-reference trick, `validate_cirr.py:41-50`).
+
+Here: gallery is scanned in fixed-size chunks; each chunk contributes a
+[Q, k] candidate set via `lax.top_k` that is merged with the running
+top-k. Peak memory is O(Q·chunk), the matmul stays on the MXU, and the
+result is bit-identical to a full sort for distinct scores. For a
+mesh-sharded gallery, each shard computes its local top-k and the
+shards' candidates are merged the same way (see retrieval.engine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def blocked_top_k_similarity(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    k: int = 51,
+    chunk: int = 8192,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k cosine similarity of `queries` [Q,d] against `gallery` [N,d].
+
+    Inputs are assumed L2-normalized (the callers normalize — the
+    reference computes `1 - pred @ indexᵀ` on normalized features,
+    `validate_fiq.py:30-34`; top-k on similarity == bottom-k on that
+    distance). Returns (scores [Q,k] desc, indices [Q,k] int32).
+    Ties broken by lower index first (matches stable argsort).
+    """
+    q, d = queries.shape
+    n = gallery.shape[0]
+    k = min(k, n)
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    gal = jnp.pad(gallery, ((0, n_pad - n), (0, 0))).reshape(n_chunks, chunk, d)
+    qf = queries.astype(jnp.float32)
+
+    def scan_body(carry, gal_chunk_with_idx):
+        best_s, best_i = carry
+        gal_chunk, chunk_idx = gal_chunk_with_idx
+        s = jnp.dot(qf, gal_chunk.astype(jnp.float32).T)  # [Q, chunk]
+        col = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        s = jnp.where(col[None, :] < n, s, -jnp.inf)
+        cs, ci = jax.lax.top_k(s, min(k, chunk))
+        cand_s = jnp.concatenate([best_s, cs], axis=1)
+        cand_i = jnp.concatenate([best_i, col[ci]], axis=1)
+        best_s, best_i = merge_top_k(cand_s, cand_i, k)
+        return (best_s, best_i), None
+
+    init = (
+        jnp.full((q, k), -jnp.inf, jnp.float32),
+        jnp.full((q, k), jnp.iinfo(jnp.int32).max, jnp.int32),
+    )
+    (scores, idx), _ = jax.lax.scan(
+        scan_body, init, (gal, jnp.arange(n_chunks, dtype=jnp.int32))
+    )
+    return scores, idx
+
+
+def merge_top_k(
+    scores: jnp.ndarray, indices: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Select top-k from candidate (scores, indices) along axis 1.
+
+    Deterministic tie-break: higher score first, then smaller gallery
+    index (encoded by keying on (score, -index) lexicographically via a
+    stable sort over indices first).
+    """
+    order = jnp.argsort(indices, axis=1)  # stable pre-sort by index
+    s = jnp.take_along_axis(scores, order, axis=1)
+    i = jnp.take_along_axis(indices, order, axis=1)
+    top_s, pos = jax.lax.top_k(s, k)  # top_k is stable w.r.t. position
+    top_i = jnp.take_along_axis(i, pos, axis=1)
+    return top_s, top_i

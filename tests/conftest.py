@@ -1,0 +1,42 @@
+"""Test harness: 8 virtual CPU devices (the TPU-world stand-in for
+multi-chip, per SURVEY.md §4) and deterministic seeds.
+
+Note: in this environment the axon TPU plugin ignores the
+`JAX_PLATFORMS` env var, so the backend is forced via
+`jax.config.update` before any device query.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+# Parity tests compare fp32 numerics; keep matmuls at fp32 everywhere in
+# tests (TPU-default bf16 matmul precision is a production-path choice).
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)

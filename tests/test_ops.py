@@ -1,0 +1,142 @@
+"""Pallas-kernel ↔ XLA-fallback parity (kernels run in interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fashionern_aaai2024_tpu.ops import layernorm, attention, losses, similarity
+
+
+class TestLayerNorm:
+    @pytest.mark.parametrize("shape", [(4, 91, 640), (32, 512), (3, 13, 128)])
+    def test_pallas_matches_ref(self, rng, shape):
+        x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+        scale = jnp.asarray(rng.normal(size=shape[-1:]), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=shape[-1:]), jnp.float32)
+        ref = layernorm.layer_norm(x, scale, bias, force_pallas=False)
+        got = layernorm.layer_norm(x, scale, bias, force_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_matches_torch(self, rng):
+        torch = pytest.importorskip("torch")
+        x = rng.normal(size=(7, 640)).astype(np.float32)
+        scale = rng.normal(size=(640,)).astype(np.float32)
+        bias = rng.normal(size=(640,)).astype(np.float32)
+        ln = torch.nn.LayerNorm(640, eps=1e-5)
+        with torch.no_grad():
+            ln.weight.copy_(torch.from_numpy(scale))
+            ln.bias.copy_(torch.from_numpy(bias))
+            want = ln(torch.from_numpy(x)).numpy()
+        got = layernorm.layer_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+class TestAttention:
+    @pytest.mark.parametrize(
+        "b,h,sq,sk,dh,causal",
+        [(2, 8, 91, 91, 80, False), (2, 8, 77, 77, 64, True), (1, 8, 77, 13, 80, False)],
+    )
+    def test_pallas_matches_ref(self, rng, b, h, sq, sk, dh, causal):
+        q = jnp.asarray(rng.normal(size=(b, h, sq, dh)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, h, sk, dh)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, h, sk, dh)), jnp.float32)
+        ref = attention.multi_head_attention(q, k, v, causal=causal, force_pallas=False)
+        got = attention.multi_head_attention(
+            q, k, v, causal=causal, force_pallas=True, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+    def test_matches_torch_sdpa(self, rng):
+        torch = pytest.importorskip("torch")
+        q = rng.normal(size=(2, 4, 10, 16)).astype(np.float32)
+        k = rng.normal(size=(2, 4, 12, 16)).astype(np.float32)
+        v = rng.normal(size=(2, 4, 12, 16)).astype(np.float32)
+        want = torch.nn.functional.scaled_dot_product_attention(
+            torch.from_numpy(q), torch.from_numpy(k), torch.from_numpy(v)
+        ).numpy()
+        got = attention.multi_head_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), force_pallas=False
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+class TestBBCLoss:
+    def test_matches_torch_reference_semantics(self, rng):
+        torch = pytest.importorskip("torch")
+        pred = rng.normal(size=(16, 64)).astype(np.float32)
+        tar = rng.normal(size=(16, 64)).astype(np.float32)
+        pred /= np.linalg.norm(pred, axis=1, keepdims=True)
+        tar /= np.linalg.norm(tar, axis=1, keepdims=True)
+        # reference semantics: CE(100 * pred @ tar.T, arange) — losses/loss.py:10-14
+        logits = torch.from_numpy(100 * pred @ tar.T)
+        want = torch.nn.functional.cross_entropy(logits, torch.arange(16)).item()
+        got = losses.batch_based_classification_loss(jnp.asarray(pred), jnp.asarray(tar))
+        assert abs(float(got) - want) < 1e-4
+
+    def test_pallas_rowloss_matches_ref(self, rng):
+        pred = jnp.asarray(rng.normal(size=(20, 48)), jnp.float32)
+        tar = jnp.asarray(rng.normal(size=(20, 48)), jnp.float32)
+        ref = losses._bbc_rowloss_ref(pred, tar, 100.0)
+        got = losses._bbc_rowloss_pallas(pred, tar, 100.0, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-4)
+
+    def test_grad_matches_autodiff(self, rng):
+        pred = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32) * 0.1
+        tar = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32) * 0.1
+
+        def plain(p, t):
+            return jnp.mean(losses._bbc_rowloss_ref(p, t, 100.0))
+
+        g_plain = jax.grad(plain, argnums=(0, 1))(pred, tar)
+        g_custom = jax.grad(
+            lambda p, t: losses.batch_based_classification_loss(p, t), argnums=(0, 1)
+        )(pred, tar)
+        for a, b in zip(g_plain, g_custom):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_global_negatives_shard_map(self, rng):
+        from jax.sharding import Mesh, PartitionSpec as P
+        from jax import shard_map
+
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs), ("data",))
+        b, d = 16, 32
+        pred = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        tar = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+
+        def local_fn(p, t):
+            return losses.batch_based_classification_loss(
+                p, t, negatives="global", axis_name="data"
+            )[None]
+
+        sharded = shard_map(
+            local_fn, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data")
+        )
+        per_shard = sharded(pred, tar)
+        # global-negative loss averaged over shards == full-batch CE
+        want = jnp.mean(losses._bbc_rowloss_ref(pred, tar, 100.0))
+        np.testing.assert_allclose(float(jnp.mean(per_shard)), float(want), atol=1e-4)
+
+
+class TestBlockedTopK:
+    def test_matches_full_argsort(self, rng):
+        q = rng.normal(size=(7, 32)).astype(np.float32)
+        g = rng.normal(size=(1000, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        scores, idx = similarity.blocked_top_k_similarity(
+            jnp.asarray(q), jnp.asarray(g), k=51, chunk=128
+        )
+        full = q @ g.T
+        want_idx = np.argsort(-full, axis=1, kind="stable")[:, :51]
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        np.testing.assert_allclose(
+            np.asarray(scores), np.take_along_axis(full, want_idx, axis=1), atol=1e-5
+        )
+
+    def test_gallery_smaller_than_k(self, rng):
+        q = jnp.asarray(rng.normal(size=(3, 8)), jnp.float32)
+        g = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
+        scores, idx = similarity.blocked_top_k_similarity(q, g, k=51)
+        assert idx.shape == (3, 5)
