@@ -1,0 +1,140 @@
+"""CLIP modified-ResNet image tower (RN50x4).
+
+The "modified" ResNet of CLIP (reference uses it via open_clip,
+`run/train/train_fiq.py:49,191`):
+  * 3-conv stem (each conv→BN→ReLU) followed by 2×2 average pooling,
+  * anti-aliased downsampling — stride-2 convs replaced by stride-1 conv
+    + 2×2 average pool, both inside bottlenecks and in shortcut paths,
+  * a multi-head attention-pool head instead of global average pooling.
+
+RN50x4 dimensions: base width 80, stages (4, 6, 10, 6), image 288 →
+final 9×9×2560 grid, attention pool with 40 heads → 640-d joint space.
+
+Layout is NHWC (TPU-native); the torch→flax converter transposes.
+`encode` returns (global [B, 640], tokens [B, 82, 640]): tokens are the
+attention-pool value path (c_proj∘v_proj) applied per position incl. the
+mean token — the joint-space per-region features used as the TME seq
+analog (the reference's RN50x4 eval path itself only consumes global +
+offline patch features, `utils/utils.py:44-69`).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from fashionern_aaai2024_tpu.models.clip.config import VisionConfig
+from fashionern_aaai2024_tpu.ops.attention import multi_head_attention
+
+
+class BNRelu(nn.Module):
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
+        return nn.relu(x) if self.use_relu else x
+
+
+def _avg_pool(x, k: int):
+    return nn.avg_pool(x, (k, k), strides=(k, k))
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = BNRelu(name="bn1")(out, train=train)
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False, name="conv2")(out)
+        out = BNRelu(name="bn2")(out, train=train)
+        if self.stride > 1:
+            out = _avg_pool(out, self.stride)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, name="conv3")(out)
+        out = BNRelu(use_relu=False, name="bn3")(out, train=train)
+
+        identity = x
+        if self.stride > 1 or x.shape[-1] != self.planes * 4:
+            if self.stride > 1:
+                identity = _avg_pool(identity, self.stride)
+            identity = nn.Conv(
+                self.planes * 4, (1, 1), use_bias=False, name="downsample_conv"
+            )(identity)
+            identity = BNRelu(use_relu=False, name="downsample_bn")(identity, train=train)
+        return nn.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    embed_dim: int
+    num_heads: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        b, hh, ww, c = x.shape
+        spacial = hh * ww
+        x = x.reshape(b, spacial, c)
+        x = jnp.concatenate([jnp.mean(x, axis=1, keepdims=True), x], axis=1)
+        positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(self.embed_dim ** -0.5),
+            (spacial + 1, self.embed_dim),
+        )
+        x = x + positional_embedding[None]
+
+        q = nn.Dense(self.embed_dim, name="q_proj")(x[:, :1])
+        k = nn.Dense(self.embed_dim, name="k_proj")(x)
+        v = nn.Dense(self.embed_dim, name="v_proj")(x)
+        h, hd = self.num_heads, self.embed_dim // self.num_heads
+
+        def split(t):
+            return t.reshape(b, t.shape[1], h, hd).transpose(0, 2, 1, 3)
+
+        o = multi_head_attention(split(q), split(k), split(v))
+        o = o.transpose(0, 2, 1, 3).reshape(b, 1, self.embed_dim)
+        c_proj = nn.Dense(self.output_dim, name="c_proj")
+        pooled = c_proj(o)[:, 0]
+        # joint-space per-region features (value path) — see module docstring
+        tokens = c_proj(v)
+        return pooled, tokens
+
+
+class ModifiedResNet(nn.Module):
+    config: VisionConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, *, train: bool = False):
+        """images: [B, H, W, 3] NHWC, CLIP-normalized."""
+        cfg = self.config
+        width = cfg.width
+        stages = cfg.layers
+        assert isinstance(stages, tuple)
+
+        x = images
+        # 3-conv stem
+        x = nn.Conv(width // 2, (3, 3), strides=2, padding=1, use_bias=False, name="conv1")(x)
+        x = BNRelu(name="bn1")(x, train=train)
+        x = nn.Conv(width // 2, (3, 3), padding=1, use_bias=False, name="conv2")(x)
+        x = BNRelu(name="bn2")(x, train=train)
+        x = nn.Conv(width, (3, 3), padding=1, use_bias=False, name="conv3")(x)
+        x = BNRelu(name="bn3")(x, train=train)
+        x = _avg_pool(x, 2)
+
+        for stage_idx, blocks in enumerate(stages):
+            planes = width * (2 ** stage_idx)
+            stride = 1 if stage_idx == 0 else 2
+            for block_idx in range(blocks):
+                x = Bottleneck(
+                    planes,
+                    stride if block_idx == 0 else 1,
+                    name=f"layer{stage_idx + 1}_{block_idx}",
+                )(x, train=train)
+
+        return AttentionPool2d(
+            embed_dim=width * 32, num_heads=cfg.heads, output_dim=cfg.embed_dim,
+            name="attnpool",
+        )(x)

@@ -1,0 +1,93 @@
+"""Pre-LN transformer blocks shared by the CLIP ViT and text towers.
+
+Matches open_clip's `ResidualAttentionBlock`:
+  x = x + attn(ln_1(x));  x = x + mlp(ln_2(x)),  mlp = c_fc → act → c_proj
+Attention is torch-`nn.MultiheadAttention`-style packed QKV. All
+attention lowers to the fused Pallas kernel (`ops.attention`); layernorms
+to the fused LN kernel.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fashionern_aaai2024_tpu.ops.attention import multi_head_attention
+from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def get_activation(name: str):
+    if name == "quick_gelu":
+        return quick_gelu
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class LayerNorm(nn.Module):
+    dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return layer_norm(x, scale, bias, eps=self.eps)
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    activation: str = "gelu"
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # [B, S, W]
+        b, s, w = x.shape
+        h = self.heads
+        head_dim = w // h
+
+        y = LayerNorm(w, name="ln_1")(x)
+        in_proj_weight = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (3 * w, w)
+        )
+        in_proj_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * w,))
+        qkv = jnp.einsum("bsd,od->bso", y, in_proj_weight) + in_proj_bias
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(b, s, h, head_dim).transpose(0, 2, 1, 3)
+
+        o = multi_head_attention(
+            split_heads(q), split_heads(k), split_heads(v), causal=self.causal
+        )
+        o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
+        x = x + nn.Dense(w, name="out_proj")(o)
+
+        y = LayerNorm(w, name="ln_2")(x)
+        y = nn.Dense(4 * w, name="c_fc")(y)
+        y = get_activation(self.activation)(y)
+        x = x + nn.Dense(w, name="c_proj")(y)
+        return x
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    activation: str = "gelu"
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.width, self.heads, self.activation, self.causal,
+                name=f"resblock_{i}",
+            )(x)
+        return x

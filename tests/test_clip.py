@@ -1,0 +1,167 @@
+"""CLIP towers: golden parity vs an independent torch implementation of
+the public OpenAI/open_clip architecture, plus BPE tokenizer behavior."""
+
+import numpy as np
+import pytest
+
+from fashionern_aaai2024_tpu.models.clip import config as clip_config
+from fashionern_aaai2024_tpu.models.clip import convert as clip_convert
+from fashionern_aaai2024_tpu.models.clip.model import CLIP
+from fashionern_aaai2024_tpu.models.clip.tokenizer import SimpleTokenizer
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from tests.torch_clip_reference import (
+    CLIPTorch,
+    ModifiedResNetTorch,
+    VisionTransformerTorch,
+)
+
+VIT_SMALL = clip_config.CLIPConfig(
+    name="vit-test",
+    vision=clip_config.VisionConfig(
+        kind="vit", image_size=32, embed_dim=24, width=64, layers=2, heads=4, patch_size=16
+    ),
+    text=clip_config.TextConfig(
+        vocab_size=100, context_length=16, width=32, heads=4, layers=2, embed_dim=24
+    ),
+)
+
+RN_SMALL = clip_config.CLIPConfig(
+    name="rn-test",
+    vision=clip_config.VisionConfig(
+        kind="resnet", image_size=64, embed_dim=24, width=16, layers=(1, 1, 1, 1), heads=8
+    ),
+    text=VIT_SMALL.text,
+)
+
+
+def _torch_clip(cfg, act=torch.nn.GELU()):
+    v = cfg.vision
+    if v.kind == "vit":
+        vision = VisionTransformerTorch(
+            v.image_size, v.patch_size, v.width, v.layers, v.heads, v.embed_dim, act
+        )
+    else:
+        vision = ModifiedResNetTorch(
+            list(v.layers), v.embed_dim, v.heads, v.image_size, v.width
+        )
+    t = cfg.text
+    model = CLIPTorch(
+        vision,
+        dict(
+            vocab=t.vocab_size, ctx=t.context_length, width=t.width,
+            heads=t.heads, layers=t.layers, embed_dim=t.embed_dim, act=act,
+        ),
+    )
+    return model.eval()
+
+
+class TestViTParity:
+    def test_encode_image(self, rng):
+        torch.manual_seed(0)
+        tmodel = _torch_clip(VIT_SMALL)
+        variables = clip_convert.clip_variables_from_torch(tmodel.state_dict(), VIT_SMALL)
+        x = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            want_g, want_tok = tmodel.visual(torch.from_numpy(x))
+        model = CLIP(VIT_SMALL)
+        got_g, got_tok = model.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), method=model.encode_image
+        )
+        np.testing.assert_allclose(np.asarray(got_g), want_g.numpy(), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_tok), want_tok.numpy(), atol=2e-5)
+
+
+class TestTextParity:
+    @pytest.mark.parametrize("act_name", ["gelu", "quick_gelu"])
+    def test_encode_text(self, rng, act_name):
+        torch.manual_seed(0)
+        act = torch.nn.GELU() if act_name == "gelu" else type(
+            "QuickGELU", (torch.nn.Module,), {"forward": lambda self, x: x * torch.sigmoid(1.702 * x)}
+        )()
+        import dataclasses
+
+        cfg = dataclasses.replace(VIT_SMALL, activation=act_name)
+        tmodel = _torch_clip(cfg, act)
+        variables = clip_convert.clip_variables_from_torch(tmodel.state_dict(), cfg)
+        ids = rng.integers(1, 90, size=(3, 16)).astype(np.int64)
+        ids[:, -1] = 99  # EOT = highest id
+        with torch.no_grad():
+            want_g, want_seq = tmodel.encode_text(torch.from_numpy(ids))
+        model = CLIP(cfg)
+        got_g, got_seq = model.apply(
+            variables, jnp.asarray(ids.astype(np.int32)), method=model.encode_text
+        )
+        np.testing.assert_allclose(np.asarray(got_g), want_g.numpy(), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(got_seq), want_seq.numpy(), atol=3e-5)
+
+    def test_mode_seq_surface(self, rng):
+        torch.manual_seed(0)
+        tmodel = _torch_clip(VIT_SMALL)
+        variables = clip_convert.clip_variables_from_torch(tmodel.state_dict(), VIT_SMALL)
+        ids = jnp.asarray(rng.integers(1, 99, size=(2, 16)), jnp.int32)
+        model = CLIP(VIT_SMALL)
+        seq = model.apply(variables, ids, "seq", method=model.encode_text)
+        assert seq.shape == (2, 16, 24)
+        # visual_emb accepted & ignored (TME hook)
+        g, _ = model.apply(
+            variables, ids, "global", jnp.ones((2, 13, 24)), method=model.encode_text
+        )
+        assert g.shape == (2, 24)
+
+
+class TestResNetParity:
+    def test_encode_image(self, rng):
+        torch.manual_seed(0)
+        tmodel = _torch_clip(RN_SMALL)
+        # randomize BN running stats so eval parity is meaningful
+        for m in tmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+        variables = clip_convert.clip_variables_from_torch(tmodel.state_dict(), RN_SMALL)
+        x = rng.normal(size=(2, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = tmodel.visual(torch.from_numpy(x)).numpy()
+        model = CLIP(RN_SMALL)
+        got_g, got_tok = model.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), method=model.encode_image
+        )
+        np.testing.assert_allclose(np.asarray(got_g), want, atol=5e-5)
+        assert got_tok.shape == (2, (64 // 32) ** 2 + 1, 24)
+
+
+class TestTokenizer:
+    @pytest.fixture()
+    def tok(self):
+        # tiny synthetic merges table: "lo + w → low</w>" style pairs
+        merges = [("l", "o"), ("lo", "w</w>"), ("r", "e"), ("re", "d</w>")]
+        return SimpleTokenizer(merges=merges)
+
+    def test_known_merges(self, tok):
+        ids = tok.encode("low red")
+        toks = [tok.decoder[i] for i in ids]
+        assert toks == ["low</w>", "red</w>"]
+
+    def test_roundtrip(self, tok):
+        assert tok.decode(tok.encode("low red")).strip() == "low red"
+
+    def test_unmerged_fallback_to_bytes(self, tok):
+        ids = tok.encode("zz")
+        toks = [tok.decoder[i] for i in ids]
+        assert toks == ["z", "z</w>"]
+
+    def test_context_padding_and_truncation(self, tok):
+        out = tok(["low"], context_length=8)
+        assert out.shape == (1, 8)
+        assert out[0, 0] == tok.sot_token
+        assert out[0, 2] == tok.eot_token
+        assert out[0, 3:].sum() == 0
+        long = tok(["low " * 50], context_length=8)
+        assert long[0, -1] == tok.eot_token
+
+    def test_case_and_whitespace_normalization(self, tok):
+        assert tok.encode(" LOW\n  Red ") == tok.encode("low red")

@@ -1,0 +1,210 @@
+"""Independent PyTorch implementation of the (public) OpenAI/open_clip
+CLIP architecture, used ONLY as a golden oracle for the JAX towers.
+
+Produces open_clip-compatible state_dict key names so it also exercises
+models.clip.convert. Kept deliberately minimal; built from the published
+architecture description, not from any repository's source.
+"""
+
+from collections import OrderedDict
+
+import torch
+from torch import nn
+import torch.nn.functional as F
+
+
+class ResidualAttentionBlock(nn.Module):
+    def __init__(self, width, heads, act):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(width)
+        self.attn = nn.MultiheadAttention(width, heads, batch_first=True)
+        self.ln_2 = nn.LayerNorm(width)
+        self.mlp = nn.Sequential(
+            OrderedDict(
+                [("c_fc", nn.Linear(width, width * 4)), ("act", act), ("c_proj", nn.Linear(width * 4, width))]
+            )
+        )
+
+    def forward(self, x, attn_mask=None):
+        y = self.ln_1(x)
+        a, _ = self.attn(y, y, y, attn_mask=attn_mask, need_weights=False)
+        x = x + a
+        return x + self.mlp(self.ln_2(x))
+
+
+class Transformer(nn.Module):
+    def __init__(self, width, layers, heads, act):
+        super().__init__()
+        self.resblocks = nn.ModuleList(
+            [ResidualAttentionBlock(width, heads, act) for _ in range(layers)]
+        )
+
+    def forward(self, x, attn_mask=None):
+        for blk in self.resblocks:
+            x = blk(x, attn_mask)
+        return x
+
+
+class VisionTransformerTorch(nn.Module):
+    def __init__(self, image_size, patch_size, width, layers, heads, output_dim, act):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width, patch_size, stride=patch_size, bias=False)
+        grid = image_size // patch_size
+        scale = width ** -0.5
+        self.class_embedding = nn.Parameter(scale * torch.randn(width))
+        self.positional_embedding = nn.Parameter(scale * torch.randn(grid * grid + 1, width))
+        self.ln_pre = nn.LayerNorm(width)
+        self.transformer = Transformer(width, layers, heads, act)
+        self.ln_post = nn.LayerNorm(width)
+        self.proj = nn.Parameter(scale * torch.randn(width, output_dim))
+
+    def forward(self, x):
+        x = self.conv1(x)  # [B, W, g, g]
+        x = x.flatten(2).transpose(1, 2)  # [B, g*g, W]
+        cls = self.class_embedding[None, None].expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.positional_embedding[None]
+        x = self.ln_pre(x)
+        x = self.transformer(x)
+        x = self.ln_post(x)
+        tokens = x @ self.proj
+        return tokens[:, 0], tokens
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.avgpool = nn.AvgPool2d(stride) if stride > 1 else nn.Identity()
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = None
+        if stride > 1 or inplanes != planes * 4:
+            layers = OrderedDict()
+            if stride > 1:
+                layers["-1"] = nn.AvgPool2d(stride)
+            layers["0"] = nn.Conv2d(inplanes, planes * 4, 1, bias=False)
+            layers["1"] = nn.BatchNorm2d(planes * 4)
+            self.downsample = nn.Sequential(layers)
+
+    def forward(self, x):
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.avgpool(out)
+        out = self.bn3(self.conv3(out))
+        identity = self.downsample(x) if self.downsample is not None else x
+        return F.relu(out + identity)
+
+
+class AttentionPool2d(nn.Module):
+    def __init__(self, spacial_dim, embed_dim, num_heads, output_dim):
+        super().__init__()
+        self.positional_embedding = nn.Parameter(
+            torch.randn(spacial_dim ** 2 + 1, embed_dim) / embed_dim ** 0.5
+        )
+        self.q_proj = nn.Linear(embed_dim, embed_dim)
+        self.k_proj = nn.Linear(embed_dim, embed_dim)
+        self.v_proj = nn.Linear(embed_dim, embed_dim)
+        self.c_proj = nn.Linear(embed_dim, output_dim)
+        self.num_heads = num_heads
+
+    def forward(self, x):
+        x = x.flatten(start_dim=2).permute(2, 0, 1)  # (HW)NC
+        x = torch.cat([x.mean(dim=0, keepdim=True), x], dim=0)
+        x = x + self.positional_embedding[:, None, :]
+        out, _ = F.multi_head_attention_forward(
+            query=x[:1], key=x, value=x,
+            embed_dim_to_check=x.shape[-1],
+            num_heads=self.num_heads,
+            q_proj_weight=self.q_proj.weight,
+            k_proj_weight=self.k_proj.weight,
+            v_proj_weight=self.v_proj.weight,
+            in_proj_weight=None,
+            in_proj_bias=torch.cat([self.q_proj.bias, self.k_proj.bias, self.v_proj.bias]),
+            bias_k=None, bias_v=None,
+            add_zero_attn=False, dropout_p=0.0,
+            out_proj_weight=self.c_proj.weight,
+            out_proj_bias=self.c_proj.bias,
+            use_separate_proj_weight=True,
+            training=False, need_weights=False,
+        )
+        return out.squeeze(0)
+
+
+class ModifiedResNetTorch(nn.Module):
+    def __init__(self, layers, output_dim, heads, image_size, width):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width // 2, 3, stride=2, padding=1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width // 2)
+        self.conv2 = nn.Conv2d(width // 2, width // 2, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width // 2)
+        self.conv3 = nn.Conv2d(width // 2, width, 3, padding=1, bias=False)
+        self.bn3 = nn.BatchNorm2d(width)
+        self.avgpool = nn.AvgPool2d(2)
+        self._inplanes = width
+        self.layer1 = self._make_layer(width, layers[0])
+        self.layer2 = self._make_layer(width * 2, layers[1], stride=2)
+        self.layer3 = self._make_layer(width * 4, layers[2], stride=2)
+        self.layer4 = self._make_layer(width * 8, layers[3], stride=2)
+        self.attnpool = AttentionPool2d(image_size // 32, width * 32, heads, output_dim)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        layers = [Bottleneck(self._inplanes, planes, stride)]
+        self._inplanes = planes * Bottleneck.expansion
+        for _ in range(1, blocks):
+            layers.append(Bottleneck(self._inplanes, planes))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.relu(self.bn2(self.conv2(x)))
+        x = F.relu(self.bn3(self.conv3(x)))
+        x = self.avgpool(x)
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x = self.layer3(x)
+        x = self.layer4(x)
+        return self.attnpool(x)
+
+
+class TextTowerTorch(nn.Module):
+    def __init__(self, vocab, ctx, width, heads, layers, embed_dim, act):
+        super().__init__()
+        self.token_embedding = nn.Embedding(vocab, width)
+        self.positional_embedding = nn.Parameter(torch.empty(ctx, width).normal_(std=0.01))
+        self.transformer = Transformer(width, layers, heads, act)
+        self.ln_final = nn.LayerNorm(width)
+        self.text_projection = nn.Parameter(torch.empty(width, embed_dim).normal_(std=width ** -0.5))
+        mask = torch.full((ctx, ctx), float("-inf")).triu(1)
+        self.register_buffer("attn_mask", mask, persistent=False)
+
+    def forward(self, text):
+        x = self.token_embedding(text) + self.positional_embedding[None]
+        x = self.transformer(x, attn_mask=self.attn_mask)
+        x = self.ln_final(x)
+        seq = x @ self.text_projection
+        global_feat = seq[torch.arange(x.shape[0]), text.argmax(dim=-1)]
+        return global_feat, seq
+
+
+class CLIPTorch(nn.Module):
+    """Assembles towers with open_clip-style top-level names."""
+
+    def __init__(self, vision, text_kwargs):
+        super().__init__()
+        self.visual = vision
+        t = TextTowerTorch(**text_kwargs)
+        self.token_embedding = t.token_embedding
+        self.positional_embedding = t.positional_embedding
+        self.transformer = t.transformer
+        self.ln_final = t.ln_final
+        self.text_projection = t.text_projection
+        self._text = t
+        self.logit_scale = nn.Parameter(torch.tensor(2.6593))
+
+    def encode_text(self, text):
+        return self._text(text)
