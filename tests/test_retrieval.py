@@ -1,0 +1,125 @@
+"""Retrieval engine + metrics on synthetic galleries with known rankings."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fashionern_aaai2024_tpu.retrieval import engine, metrics
+
+
+def _normed(rng, n, d):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+class TestRetrievalIndex:
+    def test_search_matches_argsort(self, rng):
+        gal = _normed(rng, 500, 16)
+        q = _normed(rng, 9, 16)
+        index = engine.RetrievalIndex([f"g{i}" for i in range(500)], gal)
+        scores, idx = index.search(q, k=51, chunk=64)
+        want = np.argsort(-(q @ gal.T), axis=1, kind="stable")[:, :51]
+        np.testing.assert_array_equal(idx, want)
+
+    def test_duplicate_names_share_ids(self):
+        index = engine.RetrievalIndex(["a", "b", "a"], np.eye(3, dtype=np.float32))
+        assert index.ids.tolist() == [0, 1, 0]
+
+    def test_scores_for_members(self, rng):
+        gal = _normed(rng, 20, 8)
+        q = _normed(rng, 3, 8)
+        index = engine.RetrievalIndex([f"g{i}" for i in range(20)], gal)
+        members = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]])
+        got = index.scores_for(q, members)
+        want = np.stack([q[i] @ gal[members[i]].T for i in range(3)])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestShardedSearch:
+    def test_matches_single_device(self, rng):
+        from fashionern_aaai2024_tpu.parallel import create_mesh
+
+        mesh = create_mesh(len(jax.devices()))
+        gal = _normed(rng, 300, 16)
+        q = _normed(rng, 5, 16)
+        want = np.argsort(-(q @ gal.T), axis=1, kind="stable")[:, :20]
+        scores, idx = engine.sharded_search(mesh, q, gal, k=20, chunk=32)
+        np.testing.assert_array_equal(idx, want)
+
+
+class TestMetrics:
+    def test_single_positive_recall(self):
+        topk = np.array([[3, 1, 2], [9, 9, 0]])
+        targets = np.array([1, 5])
+        r = metrics.recall_at_k(topk, targets, (1, 2, 3))
+        assert r[1] == 0.0 and r[2] == 50.0 and r[3] == 50.0
+
+    def test_multi_positive_recall(self):
+        # duplicate gallery ids: any hit counts (Fashion200k semantics)
+        topk = np.array([[7, 7, 2]])
+        r = metrics.recall_at_k(topk, np.array([7]), (1,))
+        assert r[1] == 100.0
+
+    def test_drop_reference(self):
+        topk = np.array([[5, 3, 1, 0], [2, 4, 6, 8]])
+        refs = np.array([3, 9])
+        out = metrics.drop_reference(topk, refs, 3)
+        np.testing.assert_array_equal(out, [[5, 1, 0], [2, 4, 6]])
+
+    def test_subset_recall(self):
+        member_scores = np.array([[0.9, 0.8, 0.7, 0.2]])
+        member_ids = np.array([[10, 11, 12, 13]])
+        # reference (id 10) leads but is excluded → target 12 ranks 2nd
+        sub = metrics.subset_recall(
+            member_scores, member_ids, np.array([12]), np.array([10])
+        )
+        assert sub[1] == 0.0 and sub[2] == 100.0 and sub[3] == 100.0
+
+    def test_cirr_full_pipeline_synthetic(self, rng):
+        # build a gallery where query i's target is row i+1, ref is row i
+        n, d = 60, 8
+        gal = _normed(rng, n, d)
+        names = [f"img{i}" for i in range(n)]
+        index = engine.RetrievalIndex(names, gal)
+        q = gal[1:11] + 0.01 * rng.normal(size=(10, d)).astype(np.float32)  # near targets
+        scores, idx = index.search(q, k=51)
+        ref_ids = index.ids[np.arange(10)]
+        tar_ids = index.ids[np.arange(1, 11)]
+        member_rows = np.stack([np.arange(i, i + 6) % n for i in range(10)])
+        m = metrics.cirr_metrics(
+            index.topk_ids(idx),
+            ref_ids,
+            tar_ids,
+            index.scores_for(q, member_rows),
+            index.ids[member_rows],
+        )
+        assert m["recall_at1"] == 100.0
+        assert m["group_recall_at1"] == 100.0
+        assert m["headline"] == 100.0
+
+    def test_fiq_avg(self):
+        topk = np.tile(np.arange(50), (4, 1))
+        targets = np.array([0, 5, 20, 100])
+        m = metrics.fiq_metrics(topk, targets)
+        assert m["recall_at10"] == 50.0 and m["recall_at50"] == 75.0
+        assert m["avg"] == 62.5
+
+
+class TestEmbedGallery:
+    def test_padded_batching(self, rng):
+        # fake encode: global = mean over pixels, tokens = None-ish
+        def encode(imgs):
+            g = imgs.mean(axis=(1, 2))
+            return g, np.zeros((imgs.shape[0], 2, 3), np.float32)
+
+        items = [
+            {"name": [f"i{k}", f"i{k+1}"][: 2 if k < 4 else 1],
+             "image": rng.normal(size=((2 if k < 4 else 1), 4, 4, 3)).astype(np.float32),
+             "patch": rng.normal(size=((2 if k < 4 else 1), 13, 3)).astype(np.float32)}
+            for k in range(0, 5, 2)
+        ]
+        gf = engine.embed_gallery(encode, items, batch_size=2)
+        assert len(gf.names) == 5
+        assert gf.features.shape == (5, 3)
+        assert gf.local_features.shape == (5, 13, 3)
