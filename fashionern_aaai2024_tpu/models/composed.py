@@ -63,6 +63,29 @@ class ComposedCIRModel(nn.Module):
             tar_feats, tar_local_feats, deterministic=deterministic,
         )
 
+    def train_forward(
+        self, ref_image, tar_image, text_ids, ref_patch, tar_patch,
+        *, deterministic: bool = False,
+    ):
+        """One training-step forward: frozen CLIP feature extraction +
+        ERN mode="train" (reference hot loop, `run/train/train_fiq.py:119-133`).
+
+        Feature plumbing matches the reference *eval* path (the trainers'
+        `extract_*_features` helpers are missing upstream, SURVEY §0.2):
+        query-side ref globals are raw CLIP embeddings
+        (`validate_fiq.py:91-93` looks up pre-normalize index features),
+        while the index tower gets L2-normalized target globals
+        (`validate_fiq.py:30-31`).
+        """
+        ref_glob, _ = self.encode_image(ref_image)
+        tar_glob, _ = self.encode_image(tar_image)
+        text_glob, text_seq = self.encode_text(text_ids, mode="global", visual_emb=ref_patch)
+        tar_glob = tar_glob / jnp.linalg.norm(tar_glob, axis=-1, keepdims=True)
+        return self.train_features(
+            ref_glob, ref_patch, text_glob, text_seq, tar_glob, tar_patch,
+            deterministic=deterministic,
+        )
+
     def __call__(
         self,
         image=None,

@@ -1,0 +1,236 @@
+"""Dataset evaluators: the reference's `run/valid/*.py` + `run/test/*.py`
+engines on top of the jit inference API.
+
+Pipeline per dataset (reference `compute_*_val_metrics`):
+  1. gallery pass — encode every index image (global [N,d]) and collect
+     its 13-patch local features;
+  2. query pass — tokenize captions, CLIP text (global + seq), look up
+     the *raw* reference-image global by name (`validate_fiq.py:69,91-93`
+     builds name→feat **before** normalization; duplicate names resolve
+     to the last row, dict semantics), run the DVR query tower;
+  3. refine the gallery: L2-normalize then the SR+Combiner index tower
+     (`validate_fiq.py:30-31`);
+  4. cosine top-k (blocked MXU matmul, `ops.similarity`) + recall
+     metrics (`retrieval.metrics`).
+
+Every jitted function runs at one padded batch size — no recompiles
+across the dataset sweep.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import numpy as np
+
+from fashionern_aaai2024_tpu.models.clip.tokenizer import tokenize
+from fashionern_aaai2024_tpu.data.captions import join_fiq_captions
+from fashionern_aaai2024_tpu.retrieval import metrics as M
+from fashionern_aaai2024_tpu.retrieval.engine import (
+    GalleryFeatures,
+    RetrievalIndex,
+    _pad_rows,
+    embed_gallery,
+)
+
+
+class InferenceAPI:
+    """Jitted padded-batch forwards over a trained model's variables."""
+
+    def __init__(self, model, variables: dict, batch_size: int = 32,
+                 context_length: int = 77, tokenizer=None):
+        """`tokenizer`: callable (captions, context_length) → int32 [B, L];
+        defaults to the vendored CLIP BPE (`models.clip.tokenizer`)."""
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+        self.context_length = context_length
+        self._tokenizer = tokenizer if tokenizer is not None else tokenize
+
+        self._encode_image = jax.jit(
+            lambda imgs: model.apply(variables, imgs, method=model.encode_image)
+        )
+        self._encode_text = jax.jit(
+            lambda ids: model.apply(variables, ids, method=model.encode_text)
+        )
+        self._query = jax.jit(
+            lambda rf, rp, tg, ts: model.apply(
+                variables, rf, rp, tg, ts, method=model.query
+            )
+        )
+        def _index_fn(tf, tl):
+            # eps matches torch F.normalize (1e-12); also keeps zero pad rows finite
+            tf = tf / (jax.numpy.linalg.norm(tf, axis=-1, keepdims=True) + 1e-12)
+            return model.apply(variables, tf, tl, method=model.index)
+
+        self._index = jax.jit(_index_fn)
+
+    # --- padded-batch wrappers (host arrays in/out) -----------------------
+    def encode_image(self, images: np.ndarray):
+        n = images.shape[0]
+        g, tok = self._encode_image(_pad_rows(np.asarray(images), self.batch_size))
+        return np.asarray(g[:n]), np.asarray(tok[:n])
+
+    def encode_text(self, token_ids: np.ndarray):
+        n = token_ids.shape[0]
+        g, seq = self._encode_text(_pad_rows(np.asarray(token_ids), self.batch_size))
+        return np.asarray(g[:n]), np.asarray(seq[:n])
+
+    def query(self, ref_feats, ref_patch, text_g, text_seq) -> np.ndarray:
+        n = ref_feats.shape[0]
+        b = self.batch_size
+        out = self._query(
+            _pad_rows(np.asarray(ref_feats, np.float32), b),
+            _pad_rows(np.asarray(ref_patch, np.float32), b),
+            _pad_rows(np.asarray(text_g, np.float32), b),
+            _pad_rows(np.asarray(text_seq, np.float32), b),
+        )
+        return np.asarray(out[:n])
+
+    def refine_gallery(self, features: np.ndarray, local_features: np.ndarray,
+                       chunk: int = 256) -> np.ndarray:
+        """Index-tower pass over the whole gallery, fixed-chunk jit."""
+        out = np.empty_like(features, dtype=np.float32)
+        for i in range(0, features.shape[0], chunk):
+            f = _pad_rows(features[i : i + chunk], chunk)
+            l = _pad_rows(local_features[i : i + chunk], chunk)
+            r = self._index(f.astype(np.float32), l.astype(np.float32))
+            out[i : i + chunk] = np.asarray(r)[: features.shape[0] - i]
+        return out
+
+    def tokenize(self, captions: Sequence[str]) -> np.ndarray:
+        return self._tokenizer(captions, self.context_length)
+
+
+def last_wins_rows(names: Sequence[str]) -> dict[str, int]:
+    """name → gallery row, duplicates resolved to the LAST occurrence —
+    the reference's `dict(zip(index_names, index_features))` semantics
+    (`test_200k.py:85`), load-bearing for Fashion200k caption-id lookups."""
+    return {n: i for i, n in enumerate(names)}
+
+
+def generate_predictions(
+    api: InferenceAPI,
+    relative_loader,
+    caption_fn: Callable[[dict], list[str]],
+    gallery: GalleryFeatures,
+    collect: Sequence[str] = (),
+    ref_key: str = "ref_name",
+):
+    """Query pass (reference `generate_*_val_predictions`). Returns
+    (pred [Q,d], {key: list} for every `collect` key)."""
+    rows = last_wins_rows(gallery.names)
+    preds: list[np.ndarray] = []
+    meta: dict[str, list] = {k: [] for k in collect}
+    for batch in relative_loader:
+        caps = caption_fn(batch)
+        ids = api.tokenize(caps)
+        n = len(caps)
+        tg, tseq = api.encode_text(ids)
+        ref_rows = np.asarray([rows[r] for r in batch[ref_key]])
+        ref_feats = gallery.features[ref_rows]
+        preds.append(api.query(ref_feats, batch["ref_patch"], tg, tseq)[:n])
+        for k in collect:
+            meta[k].extend(batch[k])
+    return np.concatenate(preds), meta
+
+
+def _search_ids(api, gallery: GalleryFeatures, preds: np.ndarray, k: int):
+    refined = api.refine_gallery(gallery.features, gallery.local_features)
+    index = RetrievalIndex(gallery.names, refined)
+    k = min(k, len(gallery.names))
+    scores, idx = index.search(preds, k=k)
+    return index, index.topk_ids(idx)
+
+
+# --------------------------------------------------------------------------
+# Dataset evaluators
+# --------------------------------------------------------------------------
+
+def fiq_caption_fn(batch: dict) -> list[str]:
+    return [join_fiq_captions(c[0], c[1]) for c in batch["captions"]]
+
+
+def plain_caption_fn(batch: dict) -> list[str]:
+    return list(batch["caption"])
+
+
+def evaluate_fiq_split(api, classic_loader, relative_loader,
+                       ks: tuple[int, ...] = (10, 50)) -> dict:
+    """One dress type (reference `compute_fiq_val_metrics`,
+    `validate_fiq.py:11-47`); also serves the VAL protocol with its
+    extended K list (`test_val.py:58-67`)."""
+    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    preds, meta = generate_predictions(
+        api, relative_loader, fiq_caption_fn, gallery, collect=("tar_name",)
+    )
+    index, topk_ids = _search_ids(api, gallery, preds, max(ks))
+    target_ids = M.names_to_id_array(meta["tar_name"], index.vocab)
+    r = M.recall_at_k(topk_ids, target_ids, ks)
+    out = {f"recall_at{k}": r[k] for k in ks}
+    out["avg"] = float(np.mean(list(r.values())))
+    return out
+
+
+def evaluate_shoes(api, classic_loader, relative_loader) -> dict:
+    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    preds, meta = generate_predictions(
+        api, relative_loader, plain_caption_fn, gallery, collect=("tar_name",)
+    )
+    index, topk_ids = _search_ids(api, gallery, preds, 50)
+    target_ids = M.names_to_id_array(meta["tar_name"], index.vocab)
+    return M.fiq_metrics(topk_ids, target_ids)
+
+
+def evaluate_fashion200k(api, classic_loader, relative_loader) -> dict:
+    """Gallery names are caption ids → duplicate ids encode the
+    multi-positive semantics (`test_200k.py:53-60`)."""
+    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    preds, meta = generate_predictions(
+        api, relative_loader, plain_caption_fn, gallery,
+        collect=("tar_id",), ref_key="ref_id",
+    )
+    index, topk_ids = _search_ids(api, gallery, preds, 50)
+    target_ids = M.names_to_id_array(meta["tar_id"], index.vocab)
+    return M.fashion200k_metrics(topk_ids, target_ids)
+
+
+def evaluate_cirr(api, classic_loader, relative_loader) -> dict:
+    """Full CIRR suite on the val split: R@K with the reference image
+    dropped from the ranking + subset recall among the 6 group members
+    (`validate_cirr.py:11-126`)."""
+    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    preds, meta = generate_predictions(
+        api, relative_loader, plain_caption_fn, gallery,
+        collect=("tar_name", "ref_name", "group_members"),
+    )
+    refined = api.refine_gallery(gallery.features, gallery.local_features)
+    index = RetrievalIndex(gallery.names, refined)
+    k = min(51, len(gallery.names))
+    _, idx = index.search(preds, k=k)
+    topk_ids = index.topk_ids(idx)
+
+    target_ids = M.names_to_id_array(meta["tar_name"], index.vocab)
+    reference_ids = M.names_to_id_array(meta["ref_name"], index.vocab)
+    rows = last_wins_rows(gallery.names)
+    member_rows = np.asarray([[rows[m] for m in g] for g in meta["group_members"]])
+    member_scores = index.scores_for(preds, member_rows)
+    member_ids = index.ids[member_rows]
+    return M.cirr_metrics(topk_ids, reference_ids, target_ids, member_scores, member_ids)
+
+
+def evaluate_fiq(api, loaders_by_type: dict[str, tuple]) -> dict:
+    """All dress types; returns per-type recalls + the reference's
+    selection metric, mean (R@10+R@50)/2 (`train_fiq.py:158-169`)."""
+    out: dict = {}
+    r10, r50 = [], []
+    for dt, (classic, relative) in loaders_by_type.items():
+        r = evaluate_fiq_split(api, classic, relative)
+        out[dt] = r
+        r10.append(r["recall_at10"])
+        r50.append(r["recall_at50"])
+    out["mean_recall_at10"] = float(np.mean(r10))
+    out["mean_recall_at50"] = float(np.mean(r50))
+    out["avg"] = (out["mean_recall_at10"] + out["mean_recall_at50"]) / 2
+    return out

@@ -95,9 +95,12 @@ def val_protocol_metrics(topk_ids, target_ids):
 def cirr_metrics(
     topk_ids, reference_ids, target_ids, member_scores, member_ids
 ):
-    """Full CIRR suite. `topk_ids` must have ≥ 51 columns."""
-    dropped = drop_reference(topk_ids, reference_ids, 50)
-    r = recall_at_k(dropped, target_ids, (1, 5, 10, 50))
+    """Full CIRR suite. `topk_ids` needs ≥ 51 columns for exact R@50
+    (real CIRR galleries); smaller (test) galleries cap at gallery−1."""
+    kcap = min(50, topk_ids.shape[1] - 1)
+    dropped = drop_reference(topk_ids, reference_ids, kcap)
+    r = recall_at_k(dropped, target_ids, tuple(min(k, kcap) for k in (1, 5, 10, 50)))
+    r = {k: r[min(k, kcap)] for k in (1, 5, 10, 50)}
     sub = subset_recall(member_scores, member_ids, target_ids, reference_ids)
     return {
         "recall_at1": r[1],

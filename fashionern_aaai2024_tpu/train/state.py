@@ -1,0 +1,60 @@
+"""Train state: trainable ERN subtree + frozen CLIP + BN stats + Adam.
+
+The reference optimizes only fusion parameters — `Adam(params)` where
+`params` excludes any name containing `new_text_projection`, `image_clip`
+or `text_clip` (`run/train/train_fiq.py:92-100`). Here the split is
+structural: `ern_params` is the optimizer's pytree, `clip_params` is
+carried frozen (and every CLIP forward is under `stop_gradient`).
+
+BatchNorm: the ERN's VisualSR BN stats (`models/fusion_model.py:109-113`)
+update in train mode. Under pjit with a sharded batch the moments are
+computed over the *global* batch (XLA inserts the cross-chip mean) —
+SyncBN semantics, a documented improvement over the reference where DDP
+broadcasts rank 0's per-rank stats (`broadcast_buffers` default).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class CIRTrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    ern_params: Any
+    clip_params: Any
+    batch_stats: Any            # full {"clip": ..., "ern": ...} tree (clip part never mutates)
+    opt_state: Any
+    dropout_rng: jnp.ndarray
+
+    def variables(self) -> dict:
+        out = {"params": {"clip": self.clip_params, "ern": self.ern_params}}
+        if self.batch_stats:
+            out["batch_stats"] = self.batch_stats
+        return out
+
+
+def create_train_state(
+    variables: dict,
+    optimizer: optax.GradientTransformation,
+    rng: jax.Array,
+) -> CIRTrainState:
+    """`variables` is the composed model's tree (see
+    models.composed.merge_variables)."""
+    ern_params = variables["params"]["ern"]
+    return CIRTrainState(
+        step=jnp.zeros((), jnp.int32),
+        ern_params=ern_params,
+        clip_params=variables["params"]["clip"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(ern_params),
+        dropout_rng=rng,
+    )
+
+
+def trainable_param_count(state: CIRTrainState) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(state.ern_params))

@@ -1,0 +1,368 @@
+"""The Trainer: one real class + per-dataset plugins.
+
+Replaces the reference's five near-copy-pasted trainer scripts
+(`run/train/{base_trainer,train_fiq,train_cirr,train_shoes,train_200k}.py`)
+with a single loop; dataset-specific bits (caption processing, loaders,
+validation, selection metric) are plugins. Reference defects fixed by
+construction (SURVEY §2.9): validation metric initialized, ckpt dir
+created, no silent `None` batch items, arguments actually plumbed.
+
+Recipe parity (BASELINE.md): Adam over fusion params only, per-shard
+batch size semantics (reference `--batch-size` is per-rank),
+CosineAnnealingLR(T_max = 100·steps_per_epoch) stepped per iteration,
+validation every `validation_frequency` epochs, best-checkpoint on the
+dataset's selection metric, Fashion200k skips in-training validation
+(`base_trainer.py:50-53`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+import optax
+
+from fashionern_aaai2024_tpu.data.captions import (
+    generate_randomized_fiq_caption,
+    generate_shoes_caption,
+)
+from fashionern_aaai2024_tpu.data.loader import Loader
+from fashionern_aaai2024_tpu.models.clip.config import get_clip_config
+from fashionern_aaai2024_tpu.models.composed import ComposedCIRModel
+from fashionern_aaai2024_tpu.parallel import mesh as meshlib
+from fashionern_aaai2024_tpu.retrieval import evaluate as E
+from fashionern_aaai2024_tpu.train.checkpoint import BestCheckpointer, save_state
+from fashionern_aaai2024_tpu.train.schedule import cosine_annealing_schedule
+from fashionern_aaai2024_tpu.train.state import CIRTrainState, create_train_state
+from fashionern_aaai2024_tpu.train.step import build_train_step
+from fashionern_aaai2024_tpu.utils.logging import MetricLogger
+from fashionern_aaai2024_tpu.utils.meters import AverageMeter
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Flag names mirror `run/train/train_fiq.py:181-205`."""
+
+    dataset: str = "fashioniq"            # fashioniq | cirr | shoes | fashion200k
+    data_root: str = ""
+    clip_model_name: str = "RN50x4"
+    batch_size: int = 1024                # per mesh shard (reference: per rank)
+    lr: float = 4e-5
+    num_epochs: int = 300
+    validation_frequency: int = 3
+    print_frequency: int = 100
+    ckpt_dir: str = "ckpt"
+    seed: int = 42
+    target_ratio: float = 1.25
+    patch_num: int = 13
+    num_workers: int = 8
+    negatives: str = "local"              # "local" = per-shard (reference), "global"
+    eval_batch_size: int = 32
+    schedule_epochs: int = 100            # T_max = schedule_epochs · steps/epoch
+    activation: str = "gelu"
+    log_path: str | None = None
+    max_steps_per_epoch: int | None = None  # debug/bench clamp
+
+
+@dataclasses.dataclass
+class DatasetPlugin:
+    """What a dataset contributes to the generic loop."""
+
+    name: str
+    make_train_dataset: Callable[[TrainConfig], object]
+    caption_fn: Callable[[dict, random.Random], list[str]]
+    ref_key: str = "ref_name"   # ref id field in train batches (200k: ref_id)
+    make_validator: Callable | None = None  # cfg -> (api -> (metric, dict))
+    on_epoch: Callable | None = None        # (dataset, epoch) -> None
+
+
+def _fiq_captions(batch: dict, rng: random.Random) -> list[str]:
+    flat = [c for pair in batch["captions"] for c in pair]
+    return generate_randomized_fiq_caption(flat, rng)
+
+
+def _shoes_captions(batch: dict, rng: random.Random) -> list[str]:
+    return generate_shoes_caption(batch["caption"])
+
+
+def _plain_captions(batch: dict, rng: random.Random) -> list[str]:
+    return list(batch["caption"])
+
+
+def _make_fiq_train(cfg: TrainConfig):
+    from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
+
+    dim = get_clip_config(cfg.clip_model_name).input_dim
+    return FashionIQDataset(
+        cfg.data_root, "train", ["dress", "shirt", "toptee"], mode="relative",
+        dim=dim, target_ratio=cfg.target_ratio,
+    )
+
+
+def _make_cirr_train(cfg: TrainConfig):
+    from fashionern_aaai2024_tpu.data.cirr import CIRRDataset
+
+    dim = get_clip_config(cfg.clip_model_name).input_dim
+    return CIRRDataset(cfg.data_root, "train", mode="relative", dim=dim,
+                       target_ratio=cfg.target_ratio)
+
+
+def _make_shoes_train(cfg: TrainConfig):
+    from fashionern_aaai2024_tpu.data.shoes import ShoesDataset
+
+    dim = get_clip_config(cfg.clip_model_name).input_dim
+    return ShoesDataset(cfg.data_root, "train", mode="relative", dim=dim,
+                        target_ratio=cfg.target_ratio)
+
+
+def _make_200k_train(cfg: TrainConfig):
+    from fashionern_aaai2024_tpu.data.fashion200k import Fashion200kDataset
+
+    dim = get_clip_config(cfg.clip_model_name).input_dim
+    return Fashion200kDataset(cfg.data_root, "train", dim=dim,
+                              target_ratio=cfg.target_ratio)
+
+
+def _fiq_validator(cfg: TrainConfig):
+    from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
+
+    dim = get_clip_config(cfg.clip_model_name).input_dim
+
+    def run(api: E.InferenceAPI):
+        loaders = {}
+        for dt in ("dress", "shirt", "toptee"):
+            classic = FashionIQDataset(cfg.data_root, "val", [dt], mode="classic",
+                                       dim=dim, target_ratio=cfg.target_ratio)
+            relative = FashionIQDataset(cfg.data_root, "val", [dt], mode="relative",
+                                        dim=dim, target_ratio=cfg.target_ratio)
+            loaders[dt] = (
+                Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers),
+                Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers),
+            )
+        m = E.evaluate_fiq(api, loaders)
+        return m["avg"], m
+
+    return run
+
+
+def _cirr_validator(cfg: TrainConfig):
+    from fashionern_aaai2024_tpu.data.cirr import CIRRDataset
+
+    dim = get_clip_config(cfg.clip_model_name).input_dim
+
+    def run(api: E.InferenceAPI):
+        classic = CIRRDataset(cfg.data_root, "val", mode="classic", dim=dim,
+                              target_ratio=cfg.target_ratio)
+        relative = CIRRDataset(cfg.data_root, "val", mode="relative", dim=dim,
+                               target_ratio=cfg.target_ratio)
+        m = E.evaluate_cirr(
+            api,
+            Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers),
+            Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers),
+        )
+        return m["headline"], m
+
+    return run
+
+
+def _shoes_validator(cfg: TrainConfig):
+    from fashionern_aaai2024_tpu.data.shoes import ShoesDataset
+
+    dim = get_clip_config(cfg.clip_model_name).input_dim
+
+    def run(api: E.InferenceAPI):
+        classic = ShoesDataset(cfg.data_root, "val", mode="classic", dim=dim,
+                               target_ratio=cfg.target_ratio)
+        relative = ShoesDataset(cfg.data_root, "val", mode="relative", dim=dim,
+                                target_ratio=cfg.target_ratio)
+        m = E.evaluate_shoes(
+            api,
+            Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers),
+            Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers),
+        )
+        return m["avg"], m
+
+    return run
+
+
+PLUGINS: dict[str, DatasetPlugin] = {
+    "fashioniq": DatasetPlugin(
+        "fashioniq", _make_fiq_train, _fiq_captions, make_validator=_fiq_validator
+    ),
+    "cirr": DatasetPlugin(
+        "cirr", _make_cirr_train, _plain_captions, make_validator=_cirr_validator
+    ),
+    "shoes": DatasetPlugin(
+        "shoes", _make_shoes_train, _shoes_captions, make_validator=_shoes_validator
+    ),
+    "fashion200k": DatasetPlugin(
+        # No in-training validation (gallery too large; reference
+        # `base_trainer.py:50-53` skips it and points at test_200k.py).
+        "fashion200k", _make_200k_train, _plain_captions, ref_key="ref_id",
+        make_validator=None,
+        on_epoch=lambda ds, epoch: getattr(ds, "resample_epoch", lambda: None)(),
+    ),
+}
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        *,
+        mesh=None,
+        model: ComposedCIRModel | None = None,
+        variables: dict | None = None,
+        train_dataset=None,
+        validator=None,
+        plugin: DatasetPlugin | None = None,
+        tokenizer=None,
+    ):
+        """Every heavyweight piece is injectable for tests; defaults
+        build the production configuration."""
+        self.cfg = cfg
+        if plugin is None and cfg.dataset not in PLUGINS:
+            raise ValueError(
+                f"unknown dataset {cfg.dataset!r}; expected one of {sorted(PLUGINS)}"
+            )
+        self.plugin = plugin or PLUGINS[cfg.dataset]
+        self.mesh = mesh if mesh is not None else meshlib.create_mesh()
+        self.clip_cfg = get_clip_config(cfg.clip_model_name, cfg.activation) \
+            if model is None else model.clip_config
+        self.model = model or ComposedCIRModel(self.clip_cfg, patch_num=cfg.patch_num)
+
+        self.train_dataset = (
+            train_dataset if train_dataset is not None
+            else self.plugin.make_train_dataset(cfg)
+        )
+        self.loader = Loader(
+            self.train_dataset, cfg.batch_size * self.mesh.shape[meshlib.DATA_AXIS],
+            shuffle=True, seed=cfg.seed, drop_last=True, num_workers=cfg.num_workers,
+        )
+        steps_per_epoch = max(1, len(self.loader))
+        self.schedule = cosine_annealing_schedule(
+            cfg.lr, cfg.schedule_epochs * steps_per_epoch
+        )
+        self.optimizer = optax.adam(self.schedule)
+
+        if variables is None:
+            variables = self._init_variables()
+        self.state = create_train_state(variables, self.optimizer, jax.random.PRNGKey(cfg.seed))
+        self.step_fn = build_train_step(
+            self.model, self.optimizer,
+            negatives=cfg.negatives,
+            local_groups=self.mesh.shape[meshlib.DATA_AXIS],
+        )
+        self.validator = (
+            validator if validator is not None
+            else (self.plugin.make_validator(cfg) if self.plugin.make_validator else None)
+        )
+        self.best = BestCheckpointer(cfg.ckpt_dir, cfg.dataset)
+        self.logger = MetricLogger(cfg.log_path)
+        self.caption_rng = random.Random(cfg.seed)
+        self.global_step = 0
+        if tokenizer is None:
+            from fashionern_aaai2024_tpu.models.clip.tokenizer import tokenize as tokenizer
+        self.tokenizer = tokenizer
+
+    def _init_variables(self) -> dict:
+        cfg = self.cfg
+        v = self.clip_cfg.vision
+        rng = jax.random.PRNGKey(cfg.seed)
+        dummy = {
+            "ref_image": np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+            "tar_image": np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+            "text_ids": np.zeros((2, self.clip_cfg.text.context_length), np.int32),
+            "ref_patch": np.zeros((2, cfg.patch_num, self.clip_cfg.feature_dim), np.float32),
+            "tar_patch": np.zeros((2, cfg.patch_num, self.clip_cfg.feature_dim), np.float32),
+        }
+        return self.model.init(
+            {"params": rng, "dropout": rng},
+            dummy["ref_image"], dummy["tar_image"], dummy["text_ids"],
+            dummy["ref_patch"], dummy["tar_patch"],
+            deterministic=False, method=self.model.train_forward,
+        )
+
+    def load_clip_checkpoint(self, torch_state_dict) -> None:
+        """Swap in converted fine-tuned CLIP weights (reference loads
+        `saved_state_dict["CLIP"]`, `run/test/test_fiq.py:142-143`)."""
+        from fashionern_aaai2024_tpu.models.clip.convert import clip_variables_from_torch
+
+        cv = clip_variables_from_torch(torch_state_dict, self.clip_cfg)
+        bs = dict(self.state.batch_stats or {})
+        if "batch_stats" in cv:
+            bs["clip"] = cv["batch_stats"]
+        self.state = self.state.replace(clip_params=cv["params"], batch_stats=bs)
+
+    # ------------------------------------------------------------------
+    def _device_batch(self, batch: dict) -> dict:
+        caps = self.plugin.caption_fn(batch, self.caption_rng)
+        arrays = {
+            "ref_image": np.asarray(batch["ref_image"], np.float32),
+            "tar_image": np.asarray(batch["tar_image"], np.float32),
+            "text_ids": self.tokenizer(caps, self.clip_cfg.text.context_length),
+            "ref_patch": np.asarray(batch["ref_patch"], np.float32),
+            "tar_patch": np.asarray(batch["tar_patch"], np.float32),
+        }
+        return meshlib.shard_batch(self.mesh, arrays)
+
+    def train_one_epoch(self, epoch: int) -> float:
+        cfg = self.cfg
+        self.loader.set_epoch(epoch)
+        if self.plugin.on_epoch:
+            self.plugin.on_epoch(self.train_dataset, epoch)
+        loss_meter = AverageMeter("loss")
+        t0 = time.time()
+        seen = 0
+        for i, batch in enumerate(self.loader):
+            if cfg.max_steps_per_epoch is not None and i >= cfg.max_steps_per_epoch:
+                break
+            db = self._device_batch(batch)
+            self.state, loss = self.step_fn(self.state, db)
+            self.global_step += 1
+            n = db["text_ids"].shape[0]
+            seen += n
+            loss_meter.update(float(loss), n)
+            if i % cfg.print_frequency == 0:
+                self.logger.log(
+                    step=self.global_step, epoch=epoch, loss=loss_meter.avg,
+                    lr=float(self.schedule(self.global_step)),
+                    samples_per_sec=seen / max(time.time() - t0, 1e-9),
+                )
+        return loss_meter.avg
+
+    def validate(self, epoch: int) -> float | None:
+        if self.validator is None:
+            return None
+        api = E.InferenceAPI(
+            self.model, self.state.variables(), batch_size=self.cfg.eval_batch_size,
+            context_length=self.clip_cfg.text.context_length,
+            tokenizer=self.tokenizer,
+        )
+        metric, detail = self.validator(api)
+        flat = {k: v for k, v in detail.items() if isinstance(v, (int, float))}
+        self.logger.log(step=self.global_step, epoch=epoch, val_metric=metric, **flat)
+        if self.best.update(metric, self.state.ern_params):
+            self.logger.log(step=self.global_step, epoch=epoch,
+                            best_metric=self.best.best_metric,
+                            checkpoint=self.best.best_path)
+        return metric
+
+    def train(self) -> CIRTrainState:
+        cfg = self.cfg
+        for epoch in range(cfg.num_epochs):
+            loss = self.train_one_epoch(epoch)
+            self.logger.log(step=self.global_step, epoch=epoch, epoch_loss=loss)
+            if self.validator is not None and epoch % cfg.validation_frequency == 0:
+                self.validate(epoch)
+        return self.state
+
+    def save_resume_checkpoint(self, path: str | None = None) -> str:
+        path = path or os.path.join(self.cfg.ckpt_dir, f"{self.cfg.dataset}-resume")
+        save_state(path, self.state)
+        return path

@@ -1,0 +1,203 @@
+"""Evaluator-pipeline tests: InferenceAPI padding invariance and the
+full per-dataset evaluators (gallery embed → query → refine → top-k →
+recall) on synthetic data with a tiny model."""
+
+import jax
+import numpy as np
+import pytest
+
+from fashionern_aaai2024_tpu.data.loader import Loader
+from fashionern_aaai2024_tpu.models import composed
+from fashionern_aaai2024_tpu.models.clip import config as clip_config
+from fashionern_aaai2024_tpu.retrieval import evaluate as E
+
+TINY = clip_config.CLIPConfig(
+    name="vit-test",
+    vision=clip_config.VisionConfig(
+        kind="vit", image_size=32, embed_dim=24, width=64, layers=2, heads=4,
+        patch_size=16,
+    ),
+    text=clip_config.TextConfig(
+        vocab_size=100, context_length=16, width=32, heads=4, layers=2, embed_dim=24
+    ),
+)
+DIM = 24
+N_GALLERY = 20
+
+
+def fake_tokenizer(texts, context_length=16):
+    out = np.zeros((len(texts), context_length), np.int32)
+    for i, t in enumerate(texts):
+        h = [hash(w) % 97 + 1 for w in t.split()][:context_length]
+        out[i, : len(h)] = h
+    return out
+
+
+@pytest.fixture(scope="module")
+def api():
+    model = composed.ComposedCIRModel(TINY, patch_num=13)
+    k = jax.random.PRNGKey(0)
+    g = np.random.default_rng(0)
+    variables = model.init(
+        {"params": k, "dropout": k},
+        g.random((2, 32, 32, 3), dtype=np.float32),
+        g.random((2, 32, 32, 3), dtype=np.float32),
+        g.integers(0, 100, (2, 16)).astype(np.int32),
+        g.standard_normal((2, 13, DIM), dtype=np.float32),
+        g.standard_normal((2, 13, DIM), dtype=np.float32),
+        deterministic=False, method=model.train_forward,
+    )
+    return E.InferenceAPI(model, variables, batch_size=8,
+                          context_length=16, tokenizer=fake_tokenizer)
+
+
+def make_gallery_items(names):
+    g = np.random.default_rng(7)
+    return [
+        {
+            "name": n,
+            "image": g.random((32, 32, 3), dtype=np.float32),
+            "patch": g.standard_normal((13, DIM), dtype=np.float32),
+        }
+        for n in names
+    ]
+
+
+class TestInferenceAPIPadding:
+    def test_encode_image_pad_invariant(self, api):
+        g = np.random.default_rng(1)
+        imgs = g.random((5, 32, 32, 3), dtype=np.float32)
+        full, _ = api.encode_image(imgs)
+        one, _ = api.encode_image(imgs[:1])
+        np.testing.assert_allclose(full[:1], one, atol=1e-5)
+
+    def test_query_pad_invariant(self, api):
+        g = np.random.default_rng(2)
+        rf = g.standard_normal((5, DIM)).astype(np.float32)
+        rp = g.standard_normal((5, 13, DIM)).astype(np.float32)
+        tg = g.standard_normal((5, DIM)).astype(np.float32)
+        ts = g.standard_normal((5, 16, DIM)).astype(np.float32)
+        full = api.query(rf, rp, tg, ts)
+        two = api.query(rf[:2], rp[:2], tg[:2], ts[:2])
+        np.testing.assert_allclose(full[:2], two, atol=1e-5)
+        assert np.isfinite(full).all()
+        # DVR output is L2-normalized
+        np.testing.assert_allclose(np.linalg.norm(full, axis=-1), 1.0, atol=1e-4)
+
+    def test_refine_gallery_chunking(self, api):
+        g = np.random.default_rng(3)
+        feats = g.standard_normal((11, DIM)).astype(np.float32)
+        locals_ = g.standard_normal((11, 13, DIM)).astype(np.float32)
+        a = api.refine_gallery(feats, locals_, chunk=4)
+        b = api.refine_gallery(feats, locals_, chunk=11)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestFIQEvaluator:
+    def test_end_to_end(self, api):
+        names = [f"img{i}" for i in range(N_GALLERY)]
+        classic = Loader(make_gallery_items(names), 8, num_workers=0)
+        g = np.random.default_rng(11)
+        rel_items = [
+            {
+                "ref_name": names[i],
+                "tar_name": names[(i + 3) % N_GALLERY],
+                "captions": ["is red", "has sleeves"],
+                "ref_patch": g.standard_normal((13, DIM)).astype(np.float32),
+            }
+            for i in range(10)
+        ]
+        relative = Loader(rel_items, 8, num_workers=0)
+        m = E.evaluate_fiq_split(api, classic, relative)
+        assert set(m) == {"recall_at10", "recall_at50", "avg"}
+        assert 0.0 <= m["recall_at10"] <= m["recall_at50"] <= 100.0
+        # K ≥ gallery size → every target found
+        assert m["recall_at50"] == 100.0
+
+    def test_val_protocol_ks(self, api):
+        names = [f"img{i}" for i in range(N_GALLERY)]
+        classic = Loader(make_gallery_items(names), 8, num_workers=0)
+        g = np.random.default_rng(12)
+        rel_items = [
+            {
+                "ref_name": names[i],
+                "tar_name": names[(i + 1) % N_GALLERY],
+                "captions": ["a", "b"],
+                "ref_patch": g.standard_normal((13, DIM)).astype(np.float32),
+            }
+            for i in range(6)
+        ]
+        relative = Loader(rel_items, 8, num_workers=0)
+        m = E.evaluate_fiq_split(api, classic, relative, ks=(1, 5, 10, 15, 20))
+        assert set(m) == {f"recall_at{k}" for k in (1, 5, 10, 15, 20)} | {"avg"}
+
+
+class TestCIRREvaluator:
+    def test_end_to_end(self, api):
+        names = [f"img{i}" for i in range(N_GALLERY)]
+        classic = Loader(make_gallery_items(names), 8, num_workers=0)
+        g = np.random.default_rng(13)
+        rel_items = []
+        for i in range(8):
+            members = [names[(i + j) % N_GALLERY] for j in range(6)]
+            rel_items.append({
+                "ref_name": names[i],
+                "tar_name": names[(i + 1) % N_GALLERY],
+                "caption": "change the color",
+                "group_members": members,
+                "ref_patch": g.standard_normal((13, DIM)).astype(np.float32),
+            })
+        relative = Loader(rel_items, 8, num_workers=0)
+        m = E.evaluate_cirr(api, classic, relative)
+        for key in ("recall_at1", "recall_at5", "recall_at10", "recall_at50",
+                    "group_recall_at1", "group_recall_at2", "group_recall_at3",
+                    "headline"):
+            assert key in m
+        assert m["recall_at50"] == 100.0  # gallery of 20, ref dropped
+        assert m["group_recall_at3"] >= m["group_recall_at1"]
+        # 5 non-ref members → rank<5 always true at k=5... but group R@3 ≤ 100
+        assert 0.0 <= m["group_recall_at1"] <= 100.0
+
+
+class TestFashion200kEvaluator:
+    def test_multipositive(self, api):
+        # two images share caption "red dress" → retrieving either is a hit
+        captions = ["red dress", "red dress", "blue dress", "green dress",
+                    "white shirt", "black shirt"]
+        classic = Loader(make_gallery_items(captions), 8, num_workers=0)
+        g = np.random.default_rng(14)
+        rel_items = [
+            {
+                "ref_id": "blue dress",
+                "tar_id": "red dress",
+                "caption": "replace blue with red",
+                "ref_patch": g.standard_normal((13, DIM)).astype(np.float32),
+            }
+        ]
+        relative = Loader(rel_items, 8, num_workers=0)
+        m = E.evaluate_fashion200k(api, classic, relative)
+        assert m["recall_at50"] == 100.0
+
+
+class TestShoesEvaluator:
+    def test_end_to_end(self, api):
+        names = [f"shoe{i}" for i in range(10)]
+        classic = Loader(make_gallery_items(names), 8, num_workers=0)
+        g = np.random.default_rng(15)
+        rel_items = [
+            {
+                "ref_name": names[0],
+                "tar_name": names[5],
+                "caption": "has higher heels",
+                "ref_patch": g.standard_normal((13, DIM)).astype(np.float32),
+            }
+        ]
+        relative = Loader(rel_items, 8, num_workers=0)
+        m = E.evaluate_shoes(api, classic, relative)
+        assert m["recall_at50"] == 100.0
+
+
+class TestLastWinsRows:
+    def test_duplicates_resolve_last(self):
+        rows = E.last_wins_rows(["a", "b", "a", "c"])
+        assert rows == {"a": 2, "b": 1, "c": 3}

@@ -1,0 +1,303 @@
+"""Training-layer tests: schedule parity vs torch, loss semantics,
+the pjit train step on the 8-device CPU mesh, checkpointing, and a
+tiny end-to-end Trainer run on synthetic data."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+import torch
+
+from fashionern_aaai2024_tpu.models import composed
+from fashionern_aaai2024_tpu.models.clip import config as clip_config
+from fashionern_aaai2024_tpu.ops.losses import batch_based_classification_loss
+from fashionern_aaai2024_tpu.parallel import mesh as meshlib
+from fashionern_aaai2024_tpu.train.checkpoint import (
+    BestCheckpointer,
+    restore_params,
+    restore_state,
+    save_state,
+)
+from fashionern_aaai2024_tpu.train.schedule import (
+    cosine_annealing_schedule,
+    warmup_cosine_schedule,
+)
+from fashionern_aaai2024_tpu.train.state import create_train_state
+from fashionern_aaai2024_tpu.train.step import build_train_step, grouped_bbc_loss
+
+TINY = clip_config.CLIPConfig(
+    name="vit-test",
+    vision=clip_config.VisionConfig(
+        kind="vit", image_size=32, embed_dim=24, width=64, layers=2, heads=4,
+        patch_size=16,
+    ),
+    text=clip_config.TextConfig(
+        vocab_size=100, context_length=16, width=32, heads=4, layers=2, embed_dim=24
+    ),
+)
+
+
+def tiny_model():
+    return composed.ComposedCIRModel(TINY, patch_num=13)
+
+
+def tiny_batch(rng, b=16):
+    return {
+        "ref_image": rng.random((b, 32, 32, 3), dtype=np.float32),
+        "tar_image": rng.random((b, 32, 32, 3), dtype=np.float32),
+        "text_ids": rng.integers(0, 100, (b, 16)).astype(np.int32),
+        "ref_patch": rng.standard_normal((b, 13, 24), dtype=np.float32),
+        "tar_patch": rng.standard_normal((b, 13, 24), dtype=np.float32),
+    }
+
+
+def init_variables(model, batch):
+    k = jax.random.PRNGKey(0)
+    return model.init(
+        {"params": k, "dropout": k},
+        batch["ref_image"], batch["tar_image"], batch["text_ids"],
+        batch["ref_patch"], batch["tar_patch"],
+        deterministic=False, method=model.train_forward,
+    )
+
+
+class TestSchedules:
+    def test_cosine_matches_torch_closed_form(self):
+        """Per-iteration CosineAnnealingLR, incl. past T_max (the
+        reference runs 300 epochs with T_max=100 epochs of steps)."""
+        base, t_max = 4e-5, 50
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.Adam([p], lr=base)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=t_max)
+        ours = cosine_annealing_schedule(base, t_max)
+        for step in range(130):
+            want = opt.param_groups[0]["lr"]
+            got = float(ours(step))
+            assert got == pytest.approx(want, rel=1e-5, abs=1e-12), step
+            opt.step()
+            sched.step()
+
+    def test_warmup_cosine_shape(self):
+        s = warmup_cosine_schedule(1.0, warmup_steps=10, total_steps=100)
+        assert float(s(0)) == 0.0
+        assert float(s(10)) == pytest.approx(1.0)
+        assert float(s(5)) == pytest.approx(0.5)
+        assert float(s(100)) == pytest.approx(0.0, abs=1e-6)
+        assert float(s(55)) < float(s(20))
+
+
+class TestGroupedLoss:
+    def test_matches_per_group_mean(self, rng):
+        pred = rng.standard_normal((16, 8), dtype=np.float32)
+        tar = rng.standard_normal((16, 8), dtype=np.float32)
+        got = float(grouped_bbc_loss(jnp.asarray(pred), jnp.asarray(tar), 4))
+        want = np.mean([
+            float(batch_based_classification_loss(
+                jnp.asarray(pred[i * 4:(i + 1) * 4]), jnp.asarray(tar[i * 4:(i + 1) * 4])
+            ))
+            for i in range(4)
+        ])
+        assert got == pytest.approx(want, rel=1e-5)
+
+    def test_one_group_is_plain_bbc(self, rng):
+        pred = rng.standard_normal((8, 8), dtype=np.float32)
+        tar = rng.standard_normal((8, 8), dtype=np.float32)
+        got = float(grouped_bbc_loss(jnp.asarray(pred), jnp.asarray(tar), 1))
+        want = float(batch_based_classification_loss(jnp.asarray(pred), jnp.asarray(tar)))
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        rng = np.random.default_rng(0)
+        model = tiny_model()
+        batch = tiny_batch(rng)
+        variables = init_variables(model, batch)
+        opt = optax.adam(1e-3)
+        mesh = meshlib.create_mesh()
+        return model, batch, variables, opt, mesh
+
+    def test_loss_descends_and_clip_frozen(self, setup):
+        model, batch, variables, opt, mesh = setup
+        state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        clip_before = jax.tree_util.tree_map(np.asarray, state.clip_params)
+        ern_before = jax.tree_util.tree_map(np.asarray, state.ern_params)
+        step = build_train_step(model, opt, negatives="local", local_groups=8, donate=False)
+        losses = []
+        for _ in range(6):
+            db = meshlib.shard_batch(mesh, batch)
+            state, loss = step(state, db)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        clip_after = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, state.clip_params)
+        )
+        for a, b in zip(jax.tree_util.tree_leaves(clip_before), clip_after):
+            np.testing.assert_array_equal(a, b)
+        ern_after = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, state.ern_params)
+        )
+        assert any(
+            not np.array_equal(a, b)
+            for a, b in zip(jax.tree_util.tree_leaves(ern_before), ern_after)
+        )
+
+    def test_bn_stats_update(self, setup):
+        model, batch, variables, opt, mesh = setup
+        state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        before = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+        step = build_train_step(model, opt, donate=False)
+        state, _ = step(state, meshlib.shard_batch(mesh, batch))
+        after = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+        changed = [
+            not np.allclose(a, b)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)
+            )
+        ]
+        assert any(changed)
+
+    def test_local_vs_global_negatives_differ(self, setup):
+        model, batch, variables, opt, mesh = setup
+
+        def run(**kw):
+            state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+            step = build_train_step(model, opt, donate=False, **kw)
+            _, loss = step(state, meshlib.shard_batch(mesh, batch))
+            return float(loss)
+
+        local = run(negatives="local", local_groups=8)
+        glob = run(negatives="global")
+        assert local != pytest.approx(glob)
+        # fewer negatives per query → smaller CE on random features
+        assert local < glob
+
+
+class TestCheckpoint:
+    def test_state_roundtrip(self, tmp_path, rng):
+        model = tiny_model()
+        batch = tiny_batch(np.random.default_rng(0), b=4)
+        variables = init_variables(model, batch)
+        opt = optax.adam(1e-3)
+        state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        step = build_train_step(model, opt, donate=False)
+        state, _ = step(state, batch)
+        path = str(tmp_path / "ckpt")
+        save_state(path, state)
+        template = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        restored = restore_state(path, template)
+        assert int(restored.step) == 1
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.ern_params),
+            jax.tree_util.tree_leaves(restored.ern_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_best_checkpointer(self, tmp_path):
+        bc = BestCheckpointer(str(tmp_path / "ckpt"), "fiq")
+        params = {"w": np.ones((2, 2), np.float32)}
+        assert bc.update(10.0, params)
+        assert not bc.update(9.0, {"w": np.zeros((2, 2), np.float32)})
+        assert bc.update(11.0, {"w": 2 * np.ones((2, 2), np.float32)})
+        got = restore_params(bc.best_path, params)
+        np.testing.assert_array_equal(got["w"], 2 * np.ones((2, 2)))
+
+
+class SyntheticRelativeDataset:
+    """FashionIQ-shaped triplets over a tiny universe of random images."""
+
+    def __init__(self, n=32, seed=0):
+        g = np.random.default_rng(seed)
+        self.items = []
+        for i in range(n):
+            self.items.append({
+                "ref_name": f"img{i}",
+                "tar_name": f"img{(i + 1) % n}",
+                "captions": ["make it red", "with longer sleeves"],
+                "ref_image": g.random((32, 32, 3), dtype=np.float32),
+                "tar_image": g.random((32, 32, 3), dtype=np.float32),
+                "ref_patch": g.standard_normal((13, 24), dtype=np.float32),
+                "tar_patch": g.standard_normal((13, 24), dtype=np.float32),
+            })
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+def fake_tokenizer(texts, context_length=16):
+    out = np.zeros((len(texts), context_length), np.int32)
+    for i, t in enumerate(texts):
+        h = [hash(w) % 97 + 1 for w in t.split()][: context_length]
+        out[i, : len(h)] = h
+    return out
+
+
+class TestTrainerEndToEnd:
+    def test_two_epochs_with_validation(self, tmp_path):
+        from fashionern_aaai2024_tpu.train.trainer import (
+            DatasetPlugin, TrainConfig, Trainer, _fiq_captions,
+        )
+
+        cfg = TrainConfig(
+            dataset="fashioniq", batch_size=2, num_epochs=2,
+            validation_frequency=1, lr=1e-3, num_workers=0,
+            ckpt_dir=str(tmp_path / "ckpt"), eval_batch_size=4,
+            print_frequency=1000,
+        )
+        model = tiny_model()
+        calls = []
+
+        def validator(api):
+            calls.append(1)
+            q = api.query(
+                np.ones((3, 24), np.float32),
+                np.ones((3, 13, 24), np.float32),
+                np.ones((3, 24), np.float32),
+                np.ones((3, 16, 24), np.float32),
+            )
+            assert q.shape == (3, 24)
+            return float(len(calls)), {"recall_at10": 1.0}
+
+        plugin = DatasetPlugin(
+            "synthetic", lambda c: SyntheticRelativeDataset(), _fiq_captions
+        )
+        mesh = meshlib.create_mesh(2)
+        tr = Trainer(
+            cfg, mesh=mesh, model=model,
+            train_dataset=SyntheticRelativeDataset(),
+            validator=validator, plugin=plugin, tokenizer=fake_tokenizer,
+        )
+        state = tr.train()
+        assert int(state.step) > 0
+        assert len(calls) == 2
+        assert tr.best.best_metric == 2.0
+        assert os.path.exists(tr.best.best_path)
+
+    def test_resume_checkpoint(self, tmp_path):
+        from fashionern_aaai2024_tpu.train.trainer import (
+            DatasetPlugin, TrainConfig, Trainer, _fiq_captions,
+        )
+
+        cfg = TrainConfig(
+            dataset="fashioniq", batch_size=2, num_epochs=1, lr=1e-3,
+            num_workers=0, ckpt_dir=str(tmp_path / "ckpt"), print_frequency=1000,
+        )
+        plugin = DatasetPlugin(
+            "synthetic", lambda c: SyntheticRelativeDataset(), _fiq_captions
+        )
+        tr = Trainer(
+            cfg, mesh=meshlib.create_mesh(2), model=tiny_model(),
+            train_dataset=SyntheticRelativeDataset(),
+            validator=None, plugin=plugin, tokenizer=fake_tokenizer,
+        )
+        tr.train()
+        path = tr.save_resume_checkpoint()
+        assert os.path.exists(path)
