@@ -1,0 +1,270 @@
+"""`fashionern` CLI: train / eval / info.
+
+Replaces the reference's ten per-dataset `__main__` scripts
+(`run/train/train_*.py`, `run/test/test_*.py`) with two subcommands;
+flag names mirror the reference argparse blocks
+(`run/train/train_fiq.py:181-205`, `run/test/test_fiq.py:125-137`) so
+recipes translate 1:1. Deliberate differences:
+  * `--data-root` replaces hardcoded `/mnt/...` paths (reference
+    defect SURVEY §2.9.11);
+  * no `torch.distributed.launch` — one process drives the whole mesh
+    (`jax.distributed` handles multi-host when present);
+  * checkpoints may be PyTorch `.pth` (auto-converted) or Orbax dirs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", default="fashioniq",
+                   choices=["fashioniq", "fashioniq-val", "cirr", "shoes", "fashion200k"])
+    p.add_argument("--data-root", required=True,
+                   help="Dataset root directory (replaces the reference's hardcoded paths)")
+    p.add_argument("--clip-model-name", default="RN50x4",
+                   choices=["ViT-B-16", "RN50x4"])
+    p.add_argument("--patch-num", default=13, type=int)
+    p.add_argument("--num-workers", default=4, type=int)
+    p.add_argument("--target-ratio", default=1.25, type=float)
+    p.add_argument("--transform", default="targetpad",
+                   choices=["targetpad", "squarepad", "none"])
+    p.add_argument("--bpe-path", default=None,
+                   help="Path to open_clip's bpe_simple_vocab_16e6.txt.gz")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="fashionern")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="fine-tune the ERN fusion stack")
+    _add_common(t)
+    t.add_argument("--lr", default=4e-5, type=float)
+    t.add_argument("--batch-size", default=1024, type=int,
+                   help="per-shard batch (reference: per-rank)")
+    t.add_argument("--num-epochs", default=300, type=int)
+    t.add_argument("--validation-frequency", default=3, type=int)
+    t.add_argument("--print-frequency", default=100, type=int)
+    t.add_argument("--validation-bs", default=32, type=int)
+    t.add_argument("--clip-model-path", default=None,
+                   help="fine-tuned CLIP checkpoint (.pth with 'CLIP' key, or raw state dict)")
+    t.add_argument("--ckpt-dir", default="ckpt")
+    t.add_argument("--seed", default=42, type=int)
+    t.add_argument("--negatives", default="local", choices=["local", "global"],
+                   help="'local' = per-shard in-batch negatives (reference DDP parity)")
+    t.add_argument("--log-path", default=None)
+    t.add_argument("--max-steps-per-epoch", default=None, type=int)
+
+    e = sub.add_parser("eval", help="run a retrieval benchmark")
+    _add_common(e)
+    e.add_argument("--clip-path", default=None,
+                   help="fine-tuned CLIP checkpoint (reference saved_state_dict['CLIP'])")
+    e.add_argument("--fusion-model-path", default=None,
+                   help="fusion (ERN) checkpoint: torch .pth or Orbax dir")
+    e.add_argument("--batch-size", default=32, type=int)
+    e.add_argument("--split", default="val")
+    e.add_argument("--json", action="store_true", help="print metrics as one JSON line")
+
+    sub.add_parser("info", help="print registered backbones/datasets/losses")
+    return parser
+
+
+def _load_torch_state_dict(path: str):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "CLIP" in sd:
+        sd = sd["CLIP"]
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return sd
+
+
+def load_model_variables(clip_cfg, clip_path: str | None, fusion_path: str | None,
+                         patch_num: int, seed: int = 42) -> dict:
+    """Assemble composed-model variables from (optionally converted)
+    checkpoints; random init for whatever is missing."""
+    import jax
+    import numpy as np
+
+    from fashionern_aaai2024_tpu.models.composed import ComposedCIRModel, merge_variables
+
+    model = ComposedCIRModel(clip_cfg, patch_num=patch_num)
+    rng = jax.random.PRNGKey(seed)
+    v = clip_cfg.vision
+    init = model.init(
+        {"params": rng, "dropout": rng},
+        np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+        np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+        np.zeros((2, clip_cfg.text.context_length), np.int32),
+        np.zeros((2, patch_num, clip_cfg.feature_dim), np.float32),
+        np.zeros((2, patch_num, clip_cfg.feature_dim), np.float32),
+        deterministic=False, method=model.train_forward,
+    )
+    clip_vars = {"params": init["params"]["clip"]}
+    if "batch_stats" in init and "clip" in init["batch_stats"]:
+        clip_vars["batch_stats"] = init["batch_stats"]["clip"]
+    ern_vars = {"params": init["params"]["ern"]}
+    if "batch_stats" in init and "ern" in init["batch_stats"]:
+        ern_vars["batch_stats"] = init["batch_stats"]["ern"]
+
+    if clip_path:
+        from fashionern_aaai2024_tpu.models.clip.convert import clip_variables_from_torch
+
+        clip_vars = clip_variables_from_torch(_load_torch_state_dict(clip_path), clip_cfg)
+    if fusion_path:
+        if fusion_path.endswith((".pth", ".pt", ".bin")):
+            from fashionern_aaai2024_tpu.models.ern.convert import ern_variables_from_torch
+
+            ern_vars = ern_variables_from_torch(_load_torch_state_dict(fusion_path))
+        else:
+            from fashionern_aaai2024_tpu.train.checkpoint import restore_params
+
+            ern_vars = {"params": restore_params(fusion_path, ern_vars["params"])}
+    return model, merge_variables(clip_vars, ern_vars)
+
+
+def _pad_mode(transform: str) -> str:
+    return {"targetpad": "target", "squarepad": "square", "none": "none"}[transform]
+
+
+def run_eval(args) -> dict:
+    from fashionern_aaai2024_tpu.data.loader import Loader
+    from fashionern_aaai2024_tpu.models.clip.config import get_clip_config
+    from fashionern_aaai2024_tpu.retrieval import evaluate as E
+
+    if args.bpe_path:
+        import os
+
+        os.environ["FASHIONERN_BPE_PATH"] = args.bpe_path
+
+    clip_cfg = get_clip_config(args.clip_model_name)
+    model, variables = load_model_variables(
+        clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num
+    )
+    api = E.InferenceAPI(model, variables, batch_size=args.batch_size,
+                         context_length=clip_cfg.text.context_length)
+    dim = clip_cfg.input_dim
+    pad = _pad_mode(args.transform)
+    mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio)
+
+    def loader(ds):
+        return Loader(ds, args.batch_size, num_workers=args.num_workers)
+
+    if args.dataset in ("fashioniq", "fashioniq-val"):
+        from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
+
+        val_protocol = args.dataset == "fashioniq-val"
+        loaders = {}
+        for dt in ("dress", "shirt", "toptee"):
+            classic = FashionIQDataset(args.data_root, args.split, [dt], mode="classic",
+                                       val_protocol=val_protocol, **mk)
+            relative = FashionIQDataset(args.data_root, args.split, [dt], mode="relative",
+                                        **mk)
+            loaders[dt] = (loader(classic), loader(relative))
+        if val_protocol:
+            out = {}
+            for dt, (c, r) in loaders.items():
+                out[dt] = E.evaluate_fiq_split(
+                    api, c, r, ks=(1, 5, 10, 15, 20, 30, 40, 50)
+                )
+            return out
+        return E.evaluate_fiq(api, loaders)
+    if args.dataset == "cirr":
+        from fashionern_aaai2024_tpu.data.cirr import CIRRDataset
+
+        return E.evaluate_cirr(
+            api,
+            loader(CIRRDataset(args.data_root, args.split, mode="classic", **mk)),
+            loader(CIRRDataset(args.data_root, args.split, mode="relative", **mk)),
+        )
+    if args.dataset == "shoes":
+        from fashionern_aaai2024_tpu.data.shoes import ShoesDataset
+
+        return E.evaluate_shoes(
+            api,
+            loader(ShoesDataset(args.data_root, "val", mode="classic", **mk)),
+            loader(ShoesDataset(args.data_root, "val", mode="relative", **mk)),
+        )
+    # fashion200k
+    from fashionern_aaai2024_tpu.data.fashion200k import (
+        Fashion200kTestDataset, Fashion200kTestQueryDataset,
+    )
+
+    return E.evaluate_fashion200k(
+        api,
+        loader(Fashion200kTestDataset(args.data_root, dim=dim, pad_mode=pad,
+                                      target_ratio=args.target_ratio)),
+        loader(Fashion200kTestQueryDataset(args.data_root, dim=dim, pad_mode=pad,
+                                           target_ratio=args.target_ratio)),
+    )
+
+
+def run_train(args) -> None:
+    from fashionern_aaai2024_tpu.train.trainer import TrainConfig, Trainer
+
+    if args.bpe_path:
+        import os
+
+        os.environ["FASHIONERN_BPE_PATH"] = args.bpe_path
+
+    dataset = "fashioniq" if args.dataset == "fashioniq-val" else args.dataset
+    cfg = TrainConfig(
+        dataset=dataset,
+        data_root=args.data_root,
+        clip_model_name=args.clip_model_name,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        num_epochs=args.num_epochs,
+        validation_frequency=args.validation_frequency,
+        print_frequency=args.print_frequency,
+        ckpt_dir=args.ckpt_dir,
+        seed=args.seed,
+        target_ratio=args.target_ratio,
+        patch_num=args.patch_num,
+        num_workers=args.num_workers,
+        negatives=args.negatives,
+        eval_batch_size=args.validation_bs,
+        log_path=args.log_path,
+        max_steps_per_epoch=args.max_steps_per_epoch,
+    )
+    trainer = Trainer(cfg)
+    if args.clip_model_path:
+        trainer.load_clip_checkpoint(_load_torch_state_dict(args.clip_model_path))
+    trainer.train()
+    trainer.save_resume_checkpoint()
+
+
+def run_info() -> dict:
+    from fashionern_aaai2024_tpu.models.clip.config import _CONFIGS
+    from fashionern_aaai2024_tpu.ops.extra_losses import LOSS_REGISTRY
+    from fashionern_aaai2024_tpu.train.trainer import PLUGINS
+
+    return {
+        "backbones": sorted(_CONFIGS),
+        "datasets": sorted(PLUGINS),
+        "losses": sorted(LOSS_REGISTRY),
+    }
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "train":
+        run_train(args)
+        return 0
+    if args.command == "eval":
+        metrics = run_eval(args)
+        if args.json:
+            print(json.dumps(metrics))
+        else:
+            for k, v in metrics.items():
+                print(f"{k}: {v}")
+        return 0
+    print(json.dumps(run_info(), indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

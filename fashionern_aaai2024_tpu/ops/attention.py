@@ -34,16 +34,21 @@ _NEG_INF = -1e30
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # [Sq, D]
-    k = k_ref[0].astype(jnp.float32)  # [Sk, D]
-    v = v_ref[0].astype(jnp.float32)  # [Sk, D]
+    # operands stay in their storage dtype (bf16 on the MXU fast path);
+    # accumulation and softmax run fp32
+    q = q_ref[0]                      # [Sq, D]
+    k = k_ref[0]                      # [Sk, D]
+    v = v_ref[0]                      # [Sk, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale + bias_ref[:]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p / denom, v, preferred_element_type=jnp.float32)
+    o = jax.lax.dot_general(
+        (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     out_ref[0] = o.astype(out_ref.dtype)
 
 
@@ -69,14 +74,20 @@ def _mha_pallas(q, k, v, bias, scale: float, interpret: bool = False):
 
 
 def _mha_ref(q, k, v, bias, scale, dropout_rate=0.0, dropout_rng=None):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    # bf16 operands with fp32 accumulation (MXU-native mixed precision);
+    # softmax in fp32
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
     if bias is not None:
         s = s + bias
     p = jax.nn.softmax(s, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
         p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
 
 
 def multi_head_attention(
@@ -104,17 +115,29 @@ def multi_head_attention(
     if scale is None:
         scale = dh ** -0.5
 
-    shared_bias = jnp.zeros((sq, sk), jnp.float32)
+    shared_bias = None
     if causal:
         causal_mask = jnp.tril(jnp.ones((sq, sk), bool))
         shared_bias = jnp.where(causal_mask, 0.0, _NEG_INF)
     if bias is not None:
-        shared_bias = shared_bias + bias.astype(jnp.float32)
+        b32 = bias.astype(jnp.float32)
+        shared_bias = b32 if shared_bias is None else shared_bias + b32
 
     train_dropout = dropout_rate > 0.0 and dropout_rng is not None
-    pick = use_pallas() if force_pallas is None else force_pallas
+    if force_pallas is None:
+        # Shape-aware dispatch (measured on v5e): the single-block VMEM
+        # kernel wins when the S×S matrix round-trip to HBM is the
+        # bottleneck (long sequences) and the head dim fills the lanes;
+        # at CLIP shapes (S≤257, Dh=64) XLA's fused attention is faster
+        # — the kernel's Dh→128 lane padding doubles the matmul work.
+        pick = use_pallas() and (sk >= 512 or dh % 128 == 0)
+    else:
+        pick = force_pallas
     if not pick or train_dropout:
-        return _mha_ref(q, k, v, shared_bias[None, None], scale, dropout_rate, dropout_rng)
+        sb = None if shared_bias is None else shared_bias[None, None]
+        return _mha_ref(q, k, v, sb, scale, dropout_rate, dropout_rng)
+    if shared_bias is None:
+        shared_bias = jnp.zeros((sq, sk), jnp.float32)
 
     # Pad to TPU tiles: Dh and Sk to lane width, Sq to sublane width.
     dp = round_up(dh, 128)

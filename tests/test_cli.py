@@ -1,0 +1,149 @@
+"""CLI tests: parser surface, info, and an end-to-end `eval` + `train`
+run over a synthetic on-disk FashionIQ tree with a tiny injected
+backbone config."""
+
+import gzip
+import json
+import os
+import types
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fashionern_aaai2024_tpu.cli.main import (
+    build_parser,
+    run_eval,
+    run_info,
+    run_train,
+)
+from fashionern_aaai2024_tpu.models.clip import config as clip_config
+
+DIM, FD, PD = 32, 24, 13
+
+TINY = clip_config.CLIPConfig(
+    name="tiny-test",
+    vision=clip_config.VisionConfig(
+        kind="vit", image_size=DIM, embed_dim=FD, width=64, layers=2, heads=4,
+        patch_size=16,
+    ),
+    text=clip_config.TextConfig(
+        vocab_size=600, context_length=16, width=32, heads=4, layers=2, embed_dim=FD
+    ),
+)
+
+
+@pytest.fixture()
+def tiny_backbone(monkeypatch):
+    monkeypatch.setitem(clip_config._CONFIGS, "tiny-test", TINY)
+    return "tiny-test"
+
+
+@pytest.fixture()
+def bpe_file(tmp_path, monkeypatch):
+    """Minimal real merges table so the production tokenizer path runs."""
+    p = tmp_path / "bpe.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("#version\nl o\nlo w</w>\nr e\nre d</w>\n")
+    monkeypatch.setenv("FASHIONERN_BPE_PATH", str(p))
+    # the default tokenizer is lru-cached per process; drop it
+    from fashionern_aaai2024_tpu.models.clip import tokenizer as tok
+
+    tok._default_tokenizer.cache_clear()
+    yield str(p)
+    tok._default_tokenizer.cache_clear()
+
+
+@pytest.fixture()
+def fiq_root(tmp_path):
+    root = tmp_path / "fiq"
+    g = np.random.default_rng(0)
+    names = [f"img{i}" for i in range(8)]
+    os.makedirs(root / "images")
+    os.makedirs(root / "fashion_local13")
+    for n in names:
+        Image.fromarray((g.random((40, 30, 3)) * 255).astype(np.uint8)).save(
+            root / "images" / f"{n}.png"
+        )
+        np.save(root / "fashion_local13" / f"{n}.npy",
+                g.standard_normal((PD, FD)).astype(np.float32))
+    triplets = [
+        {"candidate": names[i], "target": names[(i + 1) % 8],
+         "captions": ["is red", "low red"]}
+        for i in range(6)
+    ]
+    os.makedirs(root / "captions")
+    os.makedirs(root / "image_splits")
+    for split in ("train", "val"):
+        for dt in ("dress", "shirt", "toptee"):
+            (root / "captions" / f"cap.{dt}.{split}.json").write_text(
+                json.dumps(triplets))
+            (root / "image_splits" / f"split.{dt}.{split}.json").write_text(
+                json.dumps(names))
+    return str(root)
+
+
+class TestParser:
+    def test_eval_flags_mirror_reference(self):
+        p = build_parser()
+        a = p.parse_args([
+            "eval", "--data-root", "/x", "--dataset", "cirr",
+            "--clip-model-name", "RN50x4", "--target-ratio", "1.25",
+            "--batch-size", "32", "--patch-num", "13",
+        ])
+        assert a.command == "eval" and a.dataset == "cirr"
+
+    def test_train_defaults_match_reference(self):
+        a = build_parser().parse_args(["train", "--data-root", "/x"])
+        assert a.lr == 4e-5 and a.batch_size == 1024 and a.num_epochs == 300
+        assert a.validation_frequency == 3 and a.clip_model_name == "RN50x4"
+
+    def test_unknown_dataset_rejected(self):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args(["eval", "--data-root", "/x",
+                                       "--dataset", "imagenet"])
+
+    def test_info(self):
+        info = run_info()
+        assert "ViT-B-16" in info["backbones"] and "RN50x4" in info["backbones"]
+        assert set(info["datasets"]) == {"cirr", "fashion200k", "fashioniq", "shoes"}
+        assert "bbc" in info["losses"]
+
+
+class TestEvalEndToEnd:
+    def test_fiq_eval(self, fiq_root, tiny_backbone, bpe_file):
+        args = types.SimpleNamespace(
+            dataset="fashioniq", data_root=fiq_root, clip_model_name=tiny_backbone,
+            patch_num=PD, num_workers=0, target_ratio=1.25, transform="targetpad",
+            bpe_path=None, clip_path=None, fusion_model_path=None, batch_size=4,
+            split="val", json=True,
+        )
+        m = run_eval(args)
+        assert set(m) >= {"dress", "shirt", "toptee", "avg"}
+        assert 0.0 <= m["avg"] <= 100.0
+        # 8-image gallery → R@50 ≡ 100
+        assert m["mean_recall_at50"] == 100.0
+
+    def test_fiq_val_protocol(self, fiq_root, tiny_backbone, bpe_file):
+        args = types.SimpleNamespace(
+            dataset="fashioniq-val", data_root=fiq_root, clip_model_name=tiny_backbone,
+            patch_num=PD, num_workers=0, target_ratio=1.25, transform="targetpad",
+            bpe_path=None, clip_path=None, fusion_model_path=None, batch_size=4,
+            split="val", json=True,
+        )
+        m = run_eval(args)
+        assert set(m["dress"]) == {f"recall_at{k}" for k in (1, 5, 10, 15, 20, 30, 40, 50)} | {"avg"}
+
+
+class TestTrainEndToEnd:
+    def test_one_epoch(self, fiq_root, tiny_backbone, bpe_file, tmp_path):
+        args = types.SimpleNamespace(
+            dataset="fashioniq", data_root=fiq_root, clip_model_name=tiny_backbone,
+            patch_num=PD, num_workers=0, target_ratio=1.25, transform="targetpad",
+            bpe_path=None, lr=1e-3, batch_size=1, num_epochs=1,
+            validation_frequency=10, print_frequency=100, validation_bs=4,
+            clip_model_path=None, ckpt_dir=str(tmp_path / "ckpt"), seed=42,
+            negatives="local", log_path=None, max_steps_per_epoch=2,
+        )
+        run_train(args)
+        assert os.path.exists(tmp_path / "ckpt" / "fashioniq-resume")
