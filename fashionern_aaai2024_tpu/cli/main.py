@@ -68,6 +68,34 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--json", action="store_true", help="print metrics as one JSON line")
 
     sub.add_parser("info", help="print registered backbones/datasets/losses")
+
+    x = sub.add_parser("extract-patches",
+                       help="offline 13-crop patch features (batched TPU)")
+    x.add_argument("--data-root", required=True)
+    x.add_argument("--dataset", default="fashioniq",
+                   choices=["fashioniq", "cirr", "shoes", "fashion200k"])
+    x.add_argument("--clip-model-name", default="RN50x4",
+                   choices=["ViT-B-16", "RN50x4"])
+    x.add_argument("--clip-path", default=None,
+                   help="fine-tuned CLIP checkpoint for the crop encoder")
+    x.add_argument("--out-dir", required=True)
+    x.add_argument("--image-dir", default="images")
+    x.add_argument("--batch-images", default=16, type=int)
+    x.add_argument("--target-ratio", default=1.25, type=float)
+    x.add_argument("--no-pack", action="store_true")
+
+    cp = sub.add_parser("convert-patches", help=".pth patch dumps → .npy + pack")
+    cp.add_argument("--src", required=True)
+    cp.add_argument("--dst", default=None)
+    cp.add_argument("--pack-only", action="store_true",
+                    help="only rebuild pack.npy from existing .npy files")
+
+    cc = sub.add_parser("convert-ckpt", help="torch checkpoint → Orbax params")
+    cc.add_argument("--src", required=True)
+    cc.add_argument("--out", required=True)
+    cc.add_argument("--kind", required=True, choices=["clip", "ern"])
+    cc.add_argument("--clip-model-name", default="RN50x4",
+                    choices=["ViT-B-16", "RN50x4"])
     return parser
 
 
@@ -249,6 +277,28 @@ def run_info() -> dict:
     }
 
 
+def run_extract_patches(args) -> int:
+    import jax
+
+    from fashionern_aaai2024_tpu.models.clip.config import get_clip_config
+    from fashionern_aaai2024_tpu.tools.extract_patches import (
+        PatchExtractor, enumerate_fashion200k, enumerate_image_dir,
+    )
+
+    clip_cfg = get_clip_config(args.clip_model_name)
+    model, variables = load_model_variables(clip_cfg, args.clip_path, None, 13)
+    encode = jax.jit(lambda imgs: model.apply(variables, imgs,
+                                              method=model.encode_image)[0])
+    if args.dataset == "fashion200k":
+        items = enumerate_fashion200k(args.data_root)
+    else:
+        items = enumerate_image_dir(args.data_root, args.image_dir)
+    ex = PatchExtractor(encode, clip_cfg.input_dim,
+                        batch_images=args.batch_images,
+                        target_ratio=args.target_ratio)
+    return ex.run(items, args.out_dir, write_pack=not args.no_pack)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "train":
@@ -261,6 +311,26 @@ def main(argv=None) -> int:
         else:
             for k, v in metrics.items():
                 print(f"{k}: {v}")
+        return 0
+    if args.command == "extract-patches":
+        n = run_extract_patches(args)
+        print(f"extracted {n} images")
+        return 0
+    if args.command == "convert-patches":
+        from fashionern_aaai2024_tpu.tools.convert_patches import build_pack, convert_dir
+
+        if args.pack_only:
+            n = build_pack(args.src)
+        else:
+            n = convert_dir(args.src, args.dst)
+        print(f"converted {n}")
+        return 0
+    if args.command == "convert-ckpt":
+        from fashionern_aaai2024_tpu.tools.convert_checkpoint import convert
+
+        convert(args.src, args.out, kind=args.kind,
+                clip_model_name=args.clip_model_name)
+        print(f"wrote {args.out}")
         return 0
     print(json.dumps(run_info(), indent=2))
     return 0
