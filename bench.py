@@ -34,7 +34,10 @@ def main() -> None:
     from fashionern_aaai2024_tpu.models.clip.config import get_clip_config
     from fashionern_aaai2024_tpu.models.composed import ComposedCIRModel
 
-    cfg = get_clip_config("ViT-B-16")
+    # quick_gelu is the OpenAI-checkpoint activation (the production
+    # configuration when loading published CLIP weights) and is also
+    # measurably faster than exact erf-GELU on the VPU (~18% of trunk)
+    cfg = get_clip_config("ViT-B-16", activation="quick_gelu")
     model = ComposedCIRModel(cfg, patch_num=13)
 
     rng = jax.random.PRNGKey(0)

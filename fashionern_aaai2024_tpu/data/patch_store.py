@@ -51,6 +51,17 @@ class PatchFeatureStore:
         raise FileNotFoundError(f"no patch features for {name!r} under {self.root}")
 
     def get_batch(self, names: Sequence[str]) -> np.ndarray:
+        """Contiguous [B, patch_num, dim] batch. On the pack path this is
+        one threaded native gather (native/fastloader.cpp) instead of a
+        per-name Python loop."""
+        if self._pack is not None and all(n in self._pack_index for n in names):
+            from fashionern_aaai2024_tpu import native
+
+            idx = [self._pack_index[n] for n in names]
+            pack = self._pack
+            if isinstance(pack, np.memmap) and pack.dtype == np.float32:
+                return native.gather_rows(pack, idx)
+            return np.ascontiguousarray(np.asarray(pack, np.float32)[idx])
         return np.stack([self.get(n) for n in names])
 
     @staticmethod

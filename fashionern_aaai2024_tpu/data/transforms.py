@@ -71,8 +71,10 @@ def _center_crop(image: Image.Image, size: int) -> Image.Image:
 
 
 def _to_normalized_array(image: Image.Image) -> np.ndarray:
-    arr = np.asarray(image.convert("RGB"), np.float32) / 255.0  # [H, W, 3]
-    return (arr - CLIP_MEAN) / CLIP_STD
+    u8 = np.asarray(image.convert("RGB"), np.uint8)  # [H, W, 3]
+    from fashionern_aaai2024_tpu import native
+
+    return native.normalize_images(u8)
 
 
 def preprocess_image(

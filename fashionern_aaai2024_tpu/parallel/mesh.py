@@ -81,6 +81,28 @@ def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     return global_batch // n
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up (the reference's `dist.init_process_group`
+    TCP rendezvous, `run/train/train_fiq.py:225-227`). On TPU pods the
+    arguments come from the environment and may all be None; no-op when
+    single-process or already initialized."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        # single-process run (no coordinator configured) — fine
+        pass
+
+
 def cpu_mesh_env(n: int = 8) -> dict[str, str]:
     """Env vars that fake an `n`-device CPU mesh (for tests / dry runs)."""
     return {

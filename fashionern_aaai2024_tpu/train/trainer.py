@@ -67,6 +67,7 @@ class TrainConfig:
     activation: str = "gelu"
     log_path: str | None = None
     max_steps_per_epoch: int | None = None  # debug/bench clamp
+    profile_dir: str | None = None          # jax.profiler trace of steps 2-4, epoch 0
 
 
 @dataclasses.dataclass
@@ -319,9 +320,19 @@ class Trainer:
         loss_meter = AverageMeter("loss")
         t0 = time.time()
         seen = 0
+        profiling = False
         for i, batch in enumerate(self.loader):
             if cfg.max_steps_per_epoch is not None and i >= cfg.max_steps_per_epoch:
                 break
+            # profiler trace of steady-state steps (skips the compile step)
+            if cfg.profile_dir and epoch == 0:
+                if i == 2:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
+                elif i == 5 and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.logger.log(step=self.global_step, profile_trace=cfg.profile_dir)
             db = self._device_batch(batch)
             self.state, loss = self.step_fn(self.state, db)
             self.global_step += 1
@@ -334,6 +345,8 @@ class Trainer:
                     lr=float(self.schedule(self.global_step)),
                     samples_per_sec=seen / max(time.time() - t0, 1e-9),
                 )
+        if profiling:
+            jax.profiler.stop_trace()
         return loss_meter.avg
 
     def validate(self, epoch: int) -> float | None:

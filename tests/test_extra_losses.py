@@ -125,3 +125,50 @@ class TestRegistry:
         tar = rng.standard_normal((4, 8)).astype(np.float32)
         spec = get_loss("bbc")
         assert np.isfinite(float(spec.fn(jnp.asarray(pred), jnp.asarray(tar))))
+
+
+class TestExtrasUtils:
+    def test_concat_global_local(self, rng):
+        from fashionern_aaai2024_tpu.utils.extras import concat_global_local_feats
+
+        g = jnp_arr(rng, 4, 8)
+        l = jnp_arr(rng, 4, 13, 8)
+        out = concat_global_local_feats(g, l)
+        assert out.shape == (4, 14, 8)
+        np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(g))
+
+    def test_element_wise_sum_matches_torch(self, rng):
+        from fashionern_aaai2024_tpu.utils.extras import element_wise_sum
+
+        a = rng.standard_normal((3, 6)).astype(np.float32)
+        b = rng.standard_normal((3, 6)).astype(np.float32)
+        want = F.normalize(torch.tensor(a) + torch.tensor(b), dim=-1).numpy()
+        got = np.asarray(element_wise_sum(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_cutout_changes_pixels_deterministically(self):
+        from PIL import Image
+
+        from fashionern_aaai2024_tpu.utils.extras import cutout
+
+        img1 = Image.new("RGB", (32, 32), (0, 0, 0))
+        img2 = Image.new("RGB", (32, 32), (0, 0, 0))
+        cutout(img1, rng=np.random.default_rng(5))
+        cutout(img2, rng=np.random.default_rng(5))
+        a1, a2 = np.asarray(img1), np.asarray(img2)
+        assert a1.sum() > 0           # something was painted
+        np.testing.assert_array_equal(a1, a2)
+
+    def test_ema(self, rng):
+        from fashionern_aaai2024_tpu.utils.extras import EmaState
+
+        p0 = {"w": jnp.zeros((3,))}
+        ema = EmaState.create(p0, decay=0.9)
+        ema = ema.update({"w": jnp.ones((3,))})
+        np.testing.assert_allclose(np.asarray(ema.params["w"]), 0.1, atol=1e-6)
+        ema = ema.set({"w": jnp.full((3,), 7.0)})
+        np.testing.assert_allclose(np.asarray(ema.params["w"]), 7.0)
+
+
+def jnp_arr(rng, *shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))

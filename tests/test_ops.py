@@ -140,3 +140,33 @@ class TestBlockedTopK:
         g = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
         scores, idx = similarity.blocked_top_k_similarity(q, g, k=51)
         assert idx.shape == (3, 5)
+
+
+class TestAttentionBf16Path:
+    def test_bf16_scores_close_to_fp32(self, rng):
+        """Production bf16 path (scores stored bf16, fp32 softmax
+        internals) must track the exact fp32 path closely."""
+        from fashionern_aaai2024_tpu.ops.attention import multi_head_attention
+
+        q = rng.standard_normal((2, 4, 33, 16)).astype(np.float32)
+        k = rng.standard_normal((2, 4, 33, 16)).astype(np.float32)
+        v = rng.standard_normal((2, 4, 33, 16)).astype(np.float32)
+        exact = np.asarray(multi_head_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+        approx = np.asarray(multi_head_attention(
+            jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+            jnp.asarray(v, jnp.bfloat16)).astype(jnp.float32))
+        err = np.abs(exact - approx).max() / (np.abs(exact).max() + 1e-9)
+        assert err < 0.03, err
+
+    def test_bf16_causal(self, rng):
+        from fashionern_aaai2024_tpu.ops.attention import multi_head_attention
+
+        q = rng.standard_normal((1, 2, 9, 8)).astype(np.float32)
+        exact = np.asarray(multi_head_attention(
+            jnp.asarray(q), jnp.asarray(q), jnp.asarray(q), causal=True))
+        approx = np.asarray(multi_head_attention(
+            jnp.asarray(q, jnp.bfloat16), jnp.asarray(q, jnp.bfloat16),
+            jnp.asarray(q, jnp.bfloat16), causal=True).astype(jnp.float32))
+        err = np.abs(exact - approx).max() / (np.abs(exact).max() + 1e-9)
+        assert err < 0.03, err
