@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--batch-size", default=32, type=int)
     e.add_argument("--split", default="val")
     e.add_argument("--json", action="store_true", help="print metrics as one JSON line")
+    e.add_argument("--submission-dir", default=None,
+                   help="CIRR test1: write recall_submission.json + "
+                        "recall_subset_submission.json here instead of metrics")
 
     sub.add_parser("info", help="print registered backbones/datasets/losses")
 
@@ -203,11 +206,22 @@ def run_eval(args) -> dict:
     if args.dataset == "cirr":
         from fashionern_aaai2024_tpu.data.cirr import CIRRDataset
 
-        return E.evaluate_cirr(
-            api,
-            loader(CIRRDataset(args.data_root, args.split, mode="classic", **mk)),
-            loader(CIRRDataset(args.data_root, args.split, mode="relative", **mk)),
-        )
+        classic = loader(CIRRDataset(args.data_root, args.split, mode="classic", **mk))
+        relative = loader(CIRRDataset(args.data_root, args.split, mode="relative", **mk))
+        if args.split == "test1":
+            import os
+
+            out_dir = args.submission_dir or "cirr_submission"
+            payloads = E.generate_cirr_submission(api, classic, relative)
+            os.makedirs(out_dir, exist_ok=True)
+            written = {}
+            for name, payload in payloads.items():
+                path = os.path.join(out_dir, f"{name}.json")
+                with open(path, "w") as f:
+                    json.dump(payload, f)
+                written[name] = path
+            return written
+        return E.evaluate_cirr(api, classic, relative)
     if args.dataset == "shoes":
         from fashionern_aaai2024_tpu.data.shoes import ShoesDataset
 

@@ -220,6 +220,45 @@ def evaluate_cirr(api, classic_loader, relative_loader) -> dict:
     return M.cirr_metrics(topk_ids, reference_ids, target_ids, member_scores, member_ids)
 
 
+def generate_cirr_submission(api, classic_loader, relative_loader) -> dict:
+    """CIRR test1 split: targets are unpublished, so produce the
+    official submission payloads — per pair_id, the top-50 gallery names
+    (reference image removed) and the top-3 among the group members.
+    The reference repo stops at the val split (`run/test/test_cirr.py`);
+    its test1 dataloader branch (`dataloader/cirr.py:75-77`) feeds this.
+    """
+    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    preds, meta = generate_predictions(
+        api, relative_loader, plain_caption_fn, gallery,
+        collect=("pair_id", "ref_name", "group_members"),
+    )
+    refined = api.refine_gallery(gallery.features, gallery.local_features)
+    index = RetrievalIndex(gallery.names, refined)
+    k = min(51, len(gallery.names))
+    _, idx = index.search(preds, k=k)
+
+    rows = last_wins_rows(gallery.names)
+    ranking: dict[str, list[str]] = {}
+    subset: dict[str, list[str]] = {}
+    for qi, pair_id in enumerate(meta["pair_id"]):
+        names_row = [gallery.names[j] for j in idx[qi]
+                     if gallery.names[j] != meta["ref_name"][qi]][:50]
+        ranking[str(pair_id)] = names_row
+        members = meta["group_members"][qi]
+        member_rows = np.asarray([rows[m] for m in members])
+        scores = index.scores_for(preds[qi : qi + 1], member_rows[None])[0]
+        order = np.argsort(-scores)
+        subset[str(pair_id)] = [
+            members[j] for j in order if members[j] != meta["ref_name"][qi]
+        ][:3]
+    return {
+        "recall_submission": {"version": "rc2", "metric": "recall", **ranking},
+        "recall_subset_submission": {
+            "version": "rc2", "metric": "recall_subset", **subset,
+        },
+    }
+
+
 def evaluate_fiq(api, loaders_by_type: dict[str, tuple]) -> dict:
     """All dress types; returns per-type recalls + the reference's
     selection metric, mean (R@10+R@50)/2 (`train_fiq.py:158-169`)."""

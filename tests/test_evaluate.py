@@ -201,3 +201,36 @@ class TestLastWinsRows:
     def test_duplicates_resolve_last(self):
         rows = E.last_wins_rows(["a", "b", "a", "c"])
         assert rows == {"a": 2, "b": 1, "c": 3}
+
+
+class TestCIRRSubmission:
+    def test_payload_structure(self, api):
+        names = [f"img{i}" for i in range(N_GALLERY)]
+        classic = Loader(make_gallery_items(names), 8, num_workers=0)
+        g = np.random.default_rng(21)
+        rel_items = []
+        for i in range(5):
+            members = [names[(i + j) % N_GALLERY] for j in range(6)]
+            rel_items.append({
+                "pair_id": 1000 + i,
+                "ref_name": names[i],
+                "caption": "alter the pattern",
+                "group_members": members,
+                "ref_patch": g.standard_normal((13, DIM)).astype(np.float32),
+            })
+        relative = Loader(rel_items, 8, num_workers=0)
+        out = E.generate_cirr_submission(api, classic, relative)
+        rec = out["recall_submission"]
+        sub = out["recall_subset_submission"]
+        assert rec["version"] == "rc2" and rec["metric"] == "recall"
+        assert sub["metric"] == "recall_subset"
+        for i in range(5):
+            row = rec[str(1000 + i)]
+            # reference image never appears in its own ranking
+            assert names[i] not in row
+            assert len(row) == min(50, N_GALLERY - 1)
+            srow = sub[str(1000 + i)]
+            assert len(srow) == 3
+            assert names[i] not in srow
+            # subset candidates come from the group members
+            assert set(srow) <= set(rel_items[i]["group_members"])
