@@ -116,25 +116,32 @@ def query_bench(model_name: str, batch: int, bf16: bool = True) -> dict:
     }
 
 
-def train_bench(model_name: str, batch: int) -> dict:
+def train_bench(model_name: str, batch: int, precision: str = "fp32") -> dict:
     import optax
 
     from fashionern_aaai2024_tpu.parallel import mesh as meshlib
-    from fashionern_aaai2024_tpu.train.state import create_train_state
+    from fashionern_aaai2024_tpu.train.state import (
+        cast_frozen_clip_bf16, create_train_state,
+    )
     from fashionern_aaai2024_tpu.train.step import build_train_step
 
     cfg, model, variables = build(model_name, bf16=False)
     opt = optax.adam(4e-5)
     state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+    if precision == "bf16":
+        state = cast_frozen_clip_bf16(state)
     mesh = meshlib.create_mesh()
     step = build_train_step(model, opt, negatives="local",
                             local_groups=mesh.shape[meshlib.DATA_AXIS],
                             donate=False)
     g = np.random.default_rng(0)
     v = cfg.vision
+    img_dt = jnp.bfloat16 if precision == "bf16" else np.float32
     batch_arrays = meshlib.shard_batch(mesh, {
-        "ref_image": g.random((batch, v.image_size, v.image_size, 3), dtype=np.float32),
-        "tar_image": g.random((batch, v.image_size, v.image_size, 3), dtype=np.float32),
+        "ref_image": g.random((batch, v.image_size, v.image_size, 3),
+                              dtype=np.float32).astype(img_dt),
+        "tar_image": g.random((batch, v.image_size, v.image_size, 3),
+                              dtype=np.float32).astype(img_dt),
         "text_ids": g.integers(0, 1000, (batch, cfg.text.context_length)).astype(np.int32),
         "ref_patch": g.standard_normal((batch, 13, cfg.feature_dim), dtype=np.float32),
         "tar_patch": g.standard_normal((batch, 13, cfg.feature_dim), dtype=np.float32),
@@ -146,7 +153,7 @@ def train_bench(model_name: str, batch: int) -> dict:
 
     dt = bench_fn(run, state, batch_arrays, iters=5)
     return {
-        "metric": f"train_samples_per_sec_{model_name}",
+        "metric": f"train_samples_per_sec_{model_name}_{precision}",
         "value": round(batch / dt, 2),
         "unit": "samples/sec",
         "batch": batch,
@@ -159,13 +166,15 @@ def main():
                    choices=["all", "gallery", "query", "train"])
     p.add_argument("--model", default="ViT-B-16")
     p.add_argument("--batch", default=128, type=int)
+    p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
     args = p.parse_args()
     if args.suite in ("all", "gallery"):
         print(json.dumps(gallery_bench(args.model, args.batch)))
     if args.suite in ("all", "query"):
         print(json.dumps(query_bench(args.model, args.batch)))
     if args.suite in ("all", "train"):
-        print(json.dumps(train_bench(args.model, min(args.batch, 64))))
+        print(json.dumps(train_bench(args.model, min(args.batch, 64),
+                                     precision=args.precision)))
 
 
 if __name__ == "__main__":

@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(written as <ckpt-dir>/<dataset>-resume)")
     t.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace of steady-state steps here")
+    t.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+                   help="bf16 runs the frozen CLIP towers in bf16 (fusion stays fp32)")
 
     e = sub.add_parser("eval", help="run a retrieval benchmark")
     _add_common(e)
@@ -278,6 +280,7 @@ def run_train(args) -> None:
         max_steps_per_epoch=args.max_steps_per_epoch,
         resume_path=args.resume,
         profile_dir=args.profile_dir,
+        precision=args.precision,
     )
     trainer = Trainer(cfg)
     if args.clip_model_path:

@@ -80,6 +80,12 @@ class ComposedCIRModel(nn.Module):
         ref_glob, _ = self.encode_image(ref_image)
         tar_glob, _ = self.encode_image(tar_image)
         text_glob, text_seq = self.encode_text(text_ids, mode="global", visual_emb=ref_patch)
+        # the trainable fusion stack runs fp32 even when the frozen
+        # towers compute in bf16 (mixed-precision policy, train/state.py)
+        ref_glob = ref_glob.astype(jnp.float32)
+        tar_glob = tar_glob.astype(jnp.float32)
+        text_glob = text_glob.astype(jnp.float32)
+        text_seq = text_seq.astype(jnp.float32)
         tar_glob = tar_glob / jnp.linalg.norm(tar_glob, axis=-1, keepdims=True)
         return self.train_features(
             ref_glob, ref_patch, text_glob, text_seq, tar_glob, tar_patch,

@@ -78,21 +78,35 @@ def embed_gallery(
     keep_tokens: bool = False,
 ) -> GalleryFeatures:
     """Gallery pass (reference `extract_index_features`). `loader` yields
-    classic-mode batches with "name", "image" and optionally "patch"."""
+    classic-mode batches with "name", "image" and optionally "patch".
+
+    Device work is dispatched one batch ahead of the host readback
+    (JAX dispatch is async; `np.asarray` is the sync point), so host
+    image decode and D2H transfers overlap TPU compute."""
     names: list[str] = []
     feats: list[np.ndarray] = []
     tokens: list[np.ndarray] = []
     locals_: list[np.ndarray] = []
+    pending: tuple | None = None  # (g_dev, tok_dev, n)
+
+    def drain(entry):
+        g, tok, n = entry
+        feats.append(np.asarray(g[:n]))
+        if keep_tokens:
+            tokens.append(np.asarray(tok[:n]))
+
     for batch in loader:
         img = batch["image"]
         n = img.shape[0]
         g, tok = encode_image_fn(_pad_rows(img, batch_size))
         names.extend(batch["name"])
-        feats.append(np.asarray(g[:n]))
-        if keep_tokens:
-            tokens.append(np.asarray(tok[:n]))
         if "patch" in batch:
             locals_.append(np.asarray(batch["patch"]))
+        if pending is not None:
+            drain(pending)
+        pending = (g, tok, n)
+    if pending is not None:
+        drain(pending)
     return GalleryFeatures(
         names=names,
         features=np.concatenate(feats) if feats else np.zeros((0, 0), np.float32),

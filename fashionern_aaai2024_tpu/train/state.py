@@ -58,3 +58,22 @@ def create_train_state(
 
 def trainable_param_count(state: CIRTrainState) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(state.ern_params))
+
+
+def cast_frozen_clip_bf16(state: CIRTrainState) -> CIRTrainState:
+    """Mixed-precision training policy (SURVEY §5 AMP row): the frozen
+    CLIP towers store and compute in bf16 (inputs must also be bf16 so
+    flax's dtype promotion keeps bf16 through the towers); the trainable
+    ERN params, optimizer state, and loss stay fp32. Replaces the
+    reference's CUDA GradScaler+autocast — bf16 needs no loss scaling."""
+
+    def cast(x):
+        return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+
+    bs = dict(state.batch_stats or {})
+    if "clip" in bs:
+        bs["clip"] = jax.tree_util.tree_map(cast, bs["clip"])
+    return state.replace(
+        clip_params=jax.tree_util.tree_map(cast, state.clip_params),
+        batch_stats=bs,
+    )

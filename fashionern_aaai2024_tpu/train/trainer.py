@@ -24,6 +24,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -69,6 +70,7 @@ class TrainConfig:
     max_steps_per_epoch: int | None = None  # debug/bench clamp
     profile_dir: str | None = None          # jax.profiler trace of steps 2-4, epoch 0
     resume_path: str | None = None          # Orbax train-state dir to resume from
+    precision: str = "fp32"                 # "fp32" | "bf16" (frozen CLIP towers only)
 
 
 @dataclasses.dataclass
@@ -255,6 +257,13 @@ class Trainer:
         if variables is None:
             variables = self._init_variables()
         self.state = create_train_state(variables, self.optimizer, jax.random.PRNGKey(cfg.seed))
+        if cfg.precision == "bf16":
+            from fashionern_aaai2024_tpu.train.state import cast_frozen_clip_bf16
+
+            self.state = cast_frozen_clip_bf16(self.state)
+        elif cfg.precision != "fp32":
+            raise ValueError(f"precision must be 'fp32' or 'bf16', got {cfg.precision!r}")
+        self._image_dtype = np.float32 if cfg.precision == "fp32" else jnp.bfloat16
         self.step_fn = build_train_step(
             self.model, self.optimizer,
             negatives=cfg.negatives,
@@ -305,8 +314,8 @@ class Trainer:
     def _device_batch(self, batch: dict) -> dict:
         caps = self.plugin.caption_fn(batch, self.caption_rng)
         arrays = {
-            "ref_image": np.asarray(batch["ref_image"], np.float32),
-            "tar_image": np.asarray(batch["tar_image"], np.float32),
+            "ref_image": np.asarray(batch["ref_image"], self._image_dtype),
+            "tar_image": np.asarray(batch["tar_image"], self._image_dtype),
             "text_ids": self.tokenizer(caps, self.clip_cfg.text.context_length),
             "ref_patch": np.asarray(batch["ref_patch"], np.float32),
             "tar_patch": np.asarray(batch["tar_patch"], np.float32),

@@ -144,6 +144,7 @@ class TestTrainEndToEnd:
             validation_frequency=10, print_frequency=100, validation_bs=4,
             clip_model_path=None, ckpt_dir=str(tmp_path / "ckpt"), seed=42,
             negatives="local", log_path=None, max_steps_per_epoch=2,
+            resume=None, profile_dir=None, precision="fp32",
         )
         run_train(args)
         assert os.path.exists(tmp_path / "ckpt" / "fashioniq-resume")

@@ -334,3 +334,76 @@ class TestResume:
         assert int(state2.step) == 2 * steps
         # resumed params match: same ern tree structure, different values than fresh init
         assert tr2.global_step == 2 * steps
+
+
+class TestGlobalNegatives:
+    def test_shard_map_global_matches_single_device(self, rng):
+        """negatives="global" inside shard_map (all_gather over the mesh)
+        must equal the plain in-batch loss over the full global batch."""
+        from jax.sharding import PartitionSpec as P
+
+        pred = rng.standard_normal((16, 8)).astype(np.float32)
+        tar = rng.standard_normal((16, 8)).astype(np.float32)
+        want = float(batch_based_classification_loss(
+            jnp.asarray(pred), jnp.asarray(tar)))
+
+        mesh = meshlib.create_mesh(8)
+
+        def local_loss(p, t):
+            loss = batch_based_classification_loss(
+                p, t, negatives="global", axis_name="data")
+            return jax.lax.pmean(loss, "data")
+
+        fn = jax.jit(jax.shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(P("data", None), P("data", None)),
+            out_specs=P(),
+        ))
+        got = float(fn(jnp.asarray(pred), jnp.asarray(tar)))
+        assert got == pytest.approx(want, rel=1e-5)
+
+
+class TestBf16Precision:
+    def test_bf16_clip_fp32_fusion(self, tmp_path):
+        from fashionern_aaai2024_tpu.train.trainer import (
+            DatasetPlugin, TrainConfig, Trainer, _fiq_captions,
+        )
+
+        cfg = TrainConfig(
+            dataset="fashioniq", batch_size=4, num_epochs=1, lr=1e-3,
+            num_workers=0, ckpt_dir=str(tmp_path / "ckpt"),
+            print_frequency=1000, precision="bf16",
+        )
+        plugin = DatasetPlugin(
+            "synthetic", lambda c: SyntheticRelativeDataset(), _fiq_captions
+        )
+        tr = Trainer(
+            cfg, mesh=meshlib.create_mesh(2), model=tiny_model(),
+            train_dataset=SyntheticRelativeDataset(), validator=None,
+            plugin=plugin, tokenizer=fake_tokenizer,
+        )
+        clip_dtypes = {x.dtype for x in jax.tree_util.tree_leaves(tr.state.clip_params)}
+        ern_dtypes = {x.dtype for x in jax.tree_util.tree_leaves(tr.state.ern_params)}
+        assert clip_dtypes == {np.dtype(jnp.bfloat16)}
+        assert ern_dtypes == {np.dtype(jnp.float32)}
+        state = tr.train()
+        assert int(state.step) > 0
+        # ERN stays fp32 after updates; loss finite
+        assert {x.dtype for x in jax.tree_util.tree_leaves(state.ern_params)} == {np.dtype(jnp.float32)}
+
+    def test_bad_precision_rejected(self, tmp_path):
+        from fashionern_aaai2024_tpu.train.trainer import (
+            DatasetPlugin, TrainConfig, Trainer, _fiq_captions,
+        )
+
+        plugin = DatasetPlugin(
+            "synthetic", lambda c: SyntheticRelativeDataset(), _fiq_captions
+        )
+        with pytest.raises(ValueError, match="precision"):
+            Trainer(
+                TrainConfig(dataset="fashioniq", batch_size=2, num_workers=0,
+                            ckpt_dir=str(tmp_path), precision="fp8"),
+                mesh=meshlib.create_mesh(2), model=tiny_model(),
+                train_dataset=SyntheticRelativeDataset(), validator=None,
+                plugin=plugin, tokenizer=fake_tokenizer,
+            )
