@@ -160,7 +160,15 @@ def load_model_variables(clip_cfg, clip_path: str | None, fusion_path: str | Non
         else:
             from fashionern_aaai2024_tpu.train.checkpoint import restore_params
 
-            ern_vars = {"params": restore_params(fusion_path, ern_vars["params"])}
+            # Orbax dirs hold either the full ERN variables tree (from
+            # `convert-ckpt` / best-checkpoint saves) or bare params
+            # (legacy); keep the init BN stats when the save lacks them
+            restored = restore_params(fusion_path)
+            if "params" not in restored:
+                restored = {"params": restored}
+            if "batch_stats" not in restored and "batch_stats" in ern_vars:
+                restored["batch_stats"] = ern_vars["batch_stats"]
+            ern_vars = restored
     return model, merge_variables(clip_vars, ern_vars)
 
 

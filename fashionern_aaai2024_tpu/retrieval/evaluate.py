@@ -43,7 +43,11 @@ class InferenceAPI:
         """`tokenizer`: callable (captions, context_length) → int32 [B, L];
         defaults to the vendored CLIP BPE (`models.clip.tokenizer`)."""
         self.model = model
-        self.variables = variables
+        # device-resident leaves: converted checkpoints arrive as numpy,
+        # and numpy params closed over by jit can't be indexed by tracers
+        # (the text tower's embedding gather)
+        self.variables = jax.tree_util.tree_map(jax.numpy.asarray, variables)
+        variables = self.variables
         self.batch_size = batch_size
         self.context_length = context_length
         self._tokenizer = tokenizer if tokenizer is not None else tokenize

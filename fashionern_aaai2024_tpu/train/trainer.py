@@ -379,7 +379,12 @@ class Trainer:
         metric, detail = self.validator(api)
         flat = {k: v for k, v in detail.items() if isinstance(v, (int, float))}
         self.logger.log(step=self.global_step, epoch=epoch, val_metric=metric, **flat)
-        if self.best.update(metric, self.state.ern_params):
+        # save params AND BN running stats — the reference's state_dict()
+        # includes buffers (train_fiq.py:174-175); params alone can't eval
+        best_tree = {"params": self.state.ern_params}
+        if self.state.batch_stats and "ern" in self.state.batch_stats:
+            best_tree["batch_stats"] = self.state.batch_stats["ern"]
+        if self.best.update(metric, best_tree):
             self.logger.log(step=self.global_step, epoch=epoch,
                             best_metric=self.best.best_metric,
                             checkpoint=self.best.best_path)

@@ -1,0 +1,171 @@
+"""End-to-end eval-pipeline parity: our InferenceAPI flow vs a torch
+oracle assembled exactly like the reference's `compute_fiq_val_metrics`
+(`run/valid/validate_fiq.py:11-47` + `generate_fiq_val_predictions`),
+sharing one set of converted weights.
+
+This is the rank-level agreement check SURVEY §7 calls out (hard part
+#2): not just R@K equality but the actual top-k ordering."""
+
+import sys
+
+import jax
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+sys.path.insert(0, "/root/reference")
+
+from fashionern_aaai2024_tpu.models import composed
+from fashionern_aaai2024_tpu.models.clip import config as clip_config
+from fashionern_aaai2024_tpu.models.clip.convert import clip_variables_from_torch
+from fashionern_aaai2024_tpu.models.ern.convert import ern_variables_from_torch
+from fashionern_aaai2024_tpu.retrieval import evaluate as E
+from fashionern_aaai2024_tpu.data.loader import Loader
+from tests.torch_clip_reference import CLIPTorch, VisionTransformerTorch
+
+D = 24
+CTX = 16
+N_GALLERY = 24
+N_QUERIES = 10
+
+TINY = clip_config.CLIPConfig(
+    name="vit-test",
+    vision=clip_config.VisionConfig(
+        kind="vit", image_size=32, embed_dim=D, width=64, layers=2, heads=4,
+        patch_size=16,
+    ),
+    text=clip_config.TextConfig(
+        vocab_size=100, context_length=CTX, width=32, heads=4, layers=2, embed_dim=D
+    ),
+)
+
+
+def fake_tokenizer(texts, context_length=CTX):
+    out = np.zeros((len(texts), context_length), np.int32)
+    for i, t in enumerate(texts):
+        h = [hash(w) % 97 + 1 for w in t.split()][: context_length - 1]
+        out[i, : len(h)] = h
+        out[i, len(h)] = 99  # EOT-like max id so argmax lands here
+    return out
+
+
+@pytest.fixture(scope="module")
+def weights():
+    torch.manual_seed(0)
+    vision = VisionTransformerTorch(32, 16, 64, 2, 4, D, torch.nn.GELU())
+    tclip = CLIPTorch(vision, dict(vocab=100, ctx=CTX, width=32, heads=4,
+                                   layers=2, embed_dim=D, act=torch.nn.GELU()))
+    tclip.eval()
+
+    from models.model import ERN as TorchERN
+
+    tern = TorchERN(clip_model=None, feature_dim=D, device="cpu").eval()
+    return tclip, tern
+
+
+@pytest.fixture(scope="module")
+def data():
+    g = np.random.default_rng(3)
+    names = [f"img{i}" for i in range(N_GALLERY)]
+    images = g.random((N_GALLERY, 32, 32, 3), dtype=np.float32)
+    patches = g.standard_normal((N_GALLERY, 13, D)).astype(np.float32)
+    queries = []
+    for i in range(N_QUERIES):
+        queries.append({
+            "ref_name": names[i],
+            "tar_name": names[(i + 5) % N_GALLERY],
+            "captions": [f"cap{i} is red", "low red trim"],
+            "ref_patch": patches[i],
+        })
+    return names, images, patches, queries
+
+
+def torch_oracle_eval(tclip, tern, data):
+    """The reference validate_fiq flow, verbatim semantics."""
+    names, images, patches, queries = data
+    timg = torch.tensor(images.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        index_feats, _ = tclip.visual(timg)                      # raw globals
+        name_to_feat = dict(zip(names, index_feats))             # last wins
+
+        caps = [
+            f"{q['captions'][0].strip('.?, ').capitalize()} and {q['captions'][1].strip('.?, ')}"
+            for q in queries
+        ]
+        ids = torch.tensor(fake_tokenizer(caps).astype(np.int64))
+        text_g, text_seq = tclip.encode_text(ids)
+        ref_feats = torch.stack([name_to_feat[q["ref_name"]] for q in queries])
+        ref_patch = torch.tensor(np.stack([q["ref_patch"] for q in queries]))
+        pred = tern(
+            ref_feats=ref_feats, ref_local_feats=ref_patch,
+            text_feats=text_g, text_seq_feats=text_seq, mode="test",
+        )
+
+        idxn = F.normalize(index_feats, dim=-1).float()
+        refined = tern(tar_feats=idxn, tar_local_feats=torch.tensor(patches),
+                       mode="index").float()
+        distances = 1 - pred @ refined.T
+        order = torch.argsort(distances, dim=-1)
+    return (np.asarray(pred), np.asarray(refined), np.asarray(order))
+
+
+def ours_eval(tclip, tern, data):
+    names, images, patches, queries = data
+    model = composed.ComposedCIRModel(TINY, patch_num=13)
+    variables = composed.merge_variables(
+        clip_variables_from_torch(tclip.state_dict(), TINY),
+        ern_variables_from_torch(tern.state_dict()),
+    )
+    api = E.InferenceAPI(model, variables, batch_size=8, context_length=CTX,
+                         tokenizer=fake_tokenizer)
+
+    gallery_items = [
+        {"name": n, "image": images[i], "patch": patches[i]}
+        for i, n in enumerate(names)
+    ]
+    gallery = E.embed_gallery(api._encode_image, Loader(gallery_items, 8, num_workers=0),
+                              api.batch_size)
+    preds, meta = E.generate_predictions(
+        api, Loader(list(queries), 8, num_workers=0), E.fiq_caption_fn, gallery,
+        collect=("tar_name",),
+    )
+    refined = api.refine_gallery(gallery.features, gallery.local_features)
+    from fashionern_aaai2024_tpu.retrieval.engine import RetrievalIndex
+
+    index = RetrievalIndex(gallery.names, refined)
+    _, idx = index.search(preds, k=N_GALLERY)
+    return preds, refined, idx, meta
+
+
+class TestEndToEndParity:
+    def test_pipeline_matches_torch_reference(self, weights, data):
+        tclip, tern = weights
+        want_pred, want_refined, want_order = torch_oracle_eval(tclip, tern, data)
+        got_pred, got_refined, got_idx, _ = ours_eval(tclip, tern, data)
+
+        np.testing.assert_allclose(got_pred, want_pred, atol=2e-4)
+        np.testing.assert_allclose(got_refined, want_refined, atol=2e-4)
+        # rank-level agreement: full ordering identical
+        np.testing.assert_array_equal(got_idx, want_order[:, :N_GALLERY])
+
+    def test_recall_matches(self, weights, data):
+        from fashionern_aaai2024_tpu.retrieval import metrics as M
+
+        tclip, tern = weights
+        names, images, patches, queries = data
+        _, _, want_order = torch_oracle_eval(tclip, tern, data)
+        got_pred, got_refined, got_idx, meta = ours_eval(tclip, tern, data)
+
+        # torch-side recall (reference label-matrix computation)
+        tgt = [q["tar_name"] for q in queries]
+        sorted_names = np.asarray(names)[want_order]
+        labels = sorted_names == np.asarray(tgt)[:, None]
+        want_r10 = labels[:, :10].any(axis=1).mean() * 100
+
+        ids, vocab = M.names_to_id_array, None
+        from fashionern_aaai2024_tpu.retrieval.engine import names_to_ids
+
+        gal_ids, vocab = names_to_ids(names)
+        got = M.recall_at_k(gal_ids[got_idx], M.names_to_id_array(tgt, vocab), (10,))
+        assert got[10] == pytest.approx(want_r10)
