@@ -160,10 +160,33 @@ def train_bench(model_name: str, batch: int, precision: str = "fp32") -> dict:
     }
 
 
+def search_bench(n_gallery: int = 200_000, n_queries: int = 1024,
+                 dim: int = 640, k: int = 51) -> dict:
+    """Retrieval matmul + running top-k over a Fashion200k-scale gallery
+    (`ops.similarity.blocked_top_k_similarity`)."""
+    from fashionern_aaai2024_tpu.ops.similarity import blocked_top_k_similarity
+
+    g = np.random.default_rng(0)
+    gal = jnp.asarray(g.standard_normal((n_gallery, dim)).astype(np.float32))
+    q = jnp.asarray(g.standard_normal((n_queries, dim)).astype(np.float32))
+
+    @jax.jit
+    def search(q, gal):
+        return blocked_top_k_similarity(q, gal, k=k)
+
+    dt = bench_fn(search, q, gal, iters=10)
+    return {
+        "metric": f"retrieval_queries_per_sec_n{n_gallery}_d{dim}",
+        "value": round(n_queries / dt, 2),
+        "unit": "queries/sec",
+        "batch": n_queries,
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--suite", default="all",
-                   choices=["all", "gallery", "query", "train"])
+                   choices=["all", "gallery", "query", "train", "search"])
     p.add_argument("--model", default="ViT-B-16")
     p.add_argument("--batch", default=128, type=int)
     p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"])
@@ -173,8 +196,10 @@ def main():
     if args.suite in ("all", "query"):
         print(json.dumps(query_bench(args.model, args.batch)))
     if args.suite in ("all", "train"):
-        print(json.dumps(train_bench(args.model, min(args.batch, 64),
+        print(json.dumps(train_bench(args.model, args.batch,
                                      precision=args.precision)))
+    if args.suite == "search":
+        print(json.dumps(search_bench()))
 
 
 if __name__ == "__main__":

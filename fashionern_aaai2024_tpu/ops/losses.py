@@ -45,7 +45,10 @@ def _bbc_fwd_kernel(pred_ref, tar_ref, loss_ref, *, valid_rows: int, temp: float
     m = jnp.max(s, axis=-1, keepdims=True)
     lse = m[:, 0] + jnp.log(jnp.sum(jnp.exp(s - m), axis=-1))
     diag = jnp.sum(jnp.where(col == row_global, s, 0.0), axis=-1)
-    loss_ref[:] = lse - diag                        # [T]
+    # 2-D output, one shared [tiles, T] block revisited by every program
+    # (1-D multi-tile outputs hit an XLA/Mosaic layout mismatch, and
+    # (1, T) blocks violate the sublane-divisibility rule)
+    loss_ref[i, :] = lse - diag                     # row i of [tiles, T]
 
 
 @functools.partial(jax.jit, static_argnames=("temp", "interpret"))
@@ -58,16 +61,16 @@ def _bbc_rowloss_pallas(pred, tar, temp: float, interpret: bool = False):
     tile = min(_ROW_TILE, bp)
     out = pl.pallas_call(
         functools.partial(_bbc_fwd_kernel, valid_rows=b, temp=temp),
-        out_shape=jax.ShapeDtypeStruct((bp,), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp // tile, tile), jnp.float32),
         grid=(bp // tile,),
         in_specs=[
             pl.BlockSpec((tile, dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bp, dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bp // tile, tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(predp, tarp)
-    return out[:b]
+    return out.reshape(bp)[:b]
 
 
 def _bbc_rowloss_ref(pred, tar, temp):

@@ -285,3 +285,52 @@ class TestPatchStore:
         store = PatchFeatureStore(root)
         np.testing.assert_array_equal(store.get("b"), feats[1])
         np.testing.assert_array_equal(store.get_batch(["c", "a"]), feats[[2, 0]])
+
+
+class TestFashion200kReferenceParity:
+    def test_caption_index_structures_match(self, f200k_root):
+        """The caption graph (caption→imgids, parent→children, modifiable
+        flags) must match the reference's `caption_index_init_`
+        (`dataloader/fashion200k_patch.py:140-181`) exactly — it defines
+        the training pair distribution."""
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from dataloader.fashion200k_patch import (
+            Fashion200kDataset as RefFashion200k,
+        )
+
+        ref = RefFashion200k(root_path=f200k_root, split="train")
+        ours = Fashion200kDataset(f200k_root, "train", load_images=False,
+                                  patch_path_map=_npy_patch_map)
+
+        assert ours.caption2imgids == ref.caption2imgids
+        assert ours.parent2children_captions == ref.parent2children_captions
+        assert [im["modifiable"] for im in ours.imgs] == [
+            im["modifiable"] for im in ref.imgs
+        ]
+        assert [sorted(im["parent_captions"]) for im in ours.imgs] == [
+            sorted(im["parent_captions"]) for im in ref.imgs
+        ]
+        assert ours.num_modifiable_imgs == ref.num_modifiable_imgs
+
+    def test_generated_pairs_same_population(self, f200k_root):
+        """Sampling is RNG-dependent (reference uses global random);
+        compare the reachable pair population and invariants instead:
+        every generated pair must be a valid reference-style pair."""
+        ours = Fashion200kDataset(f200k_root, "train", load_images=False,
+                                  patch_path_map=_npy_patch_map,
+                                  n_modifications_per_image=20)
+        for idx, tgt, mod in ours.pairs:
+            sc = ours.imgs[idx]["captions"][0]
+            tc = ours.imgs[tgt]["captions"][0]
+            assert set(sc.split()) != set(tc.split())
+            # modifier is the reference word-diff format
+            assert mod.startswith("replace ")
+            src_w, tgt_w = mod.split()[1], mod.split()[3]
+            assert src_w in sc.split() and src_w not in tc.split()
+            assert tgt_w in tc.split() and tgt_w not in sc.split()
+            # source and target share a parent caption
+            shared = set(ours.imgs[idx]["parent_captions"]) & set(
+                ours.imgs[tgt]["parent_captions"])
+            assert shared
