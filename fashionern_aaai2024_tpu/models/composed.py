@@ -77,6 +77,10 @@ class ComposedCIRModel(nn.Module):
         while the index tower gets L2-normalized target globals
         (`validate_fiq.py:30-31`).
         """
+        # NB: concatenating ref+tar into one 2B tower pass measured
+        # within chip noise of two separate passes on v5e (±15% across
+        # runs, no consistent win) — the two encodes stay separate,
+        # matching the reference structure 1:1.
         ref_glob, _ = self.encode_image(ref_image)
         tar_glob, _ = self.encode_image(tar_image)
         text_glob, text_seq = self.encode_text(text_ids, mode="global", visual_emb=ref_patch)

@@ -170,3 +170,35 @@ class TestAttentionBf16Path:
             jnp.asarray(q, jnp.bfloat16), causal=True).astype(jnp.float32))
         err = np.abs(exact - approx).max() / (np.abs(exact).max() + 1e-9)
         assert err < 0.03, err
+
+
+class TestFusedCombiner:
+    @pytest.fixture()
+    def setup(self, rng):
+        import jax as _jax
+
+        from fashionern_aaai2024_tpu.models.ern.fusion import CombinerSimple
+
+        d = 16
+        m = CombinerSimple(d)
+        img = rng.standard_normal((10, d)).astype(np.float32)
+        txt = rng.standard_normal((10, d)).astype(np.float32)
+        v = m.init(_jax.random.PRNGKey(0), img, txt)
+        return m, v, img, txt
+
+    def test_xla_path_matches_module(self, setup):
+        from fashionern_aaai2024_tpu.ops.combiner import combiner_apply
+
+        m, v, img, txt = setup
+        want = np.asarray(m.apply(v, img, txt))
+        got = np.asarray(combiner_apply(img, txt, v["params"], force_pallas=False))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_pallas_interpret_matches_module(self, setup):
+        from fashionern_aaai2024_tpu.ops.combiner import combiner_apply
+
+        m, v, img, txt = setup
+        want = np.asarray(m.apply(v, img, txt))
+        got = np.asarray(combiner_apply(img, txt, v["params"],
+                                        force_pallas=True, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-5)
