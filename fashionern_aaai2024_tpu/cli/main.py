@@ -76,6 +76,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--submission-dir", default=None,
                    help="CIRR test1: write recall_submission.json + "
                         "recall_subset_submission.json here instead of metrics")
+    e.add_argument("--data-parallel", action="store_true",
+                   help="shard eval batches over all devices (DP mesh over ICI)")
 
     sub.add_parser("info", help="print registered backbones/datasets/losses")
 
@@ -190,8 +192,13 @@ def run_eval(args) -> dict:
     model, variables = load_model_variables(
         clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num
     )
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
     api = E.InferenceAPI(model, variables, batch_size=args.batch_size,
-                         context_length=clip_cfg.text.context_length)
+                         context_length=clip_cfg.text.context_length, mesh=mesh)
     dim = clip_cfg.input_dim
     pad = _pad_mode(args.transform)
     mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio)

@@ -65,11 +65,18 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     Equivalent role to the reference's `DistributedSampler` + `.to(device,
     non_blocking=True)` pair (`run/train/train_fiq.py:65,111-114`), but a
     single host-to-device transfer with the split chosen by XLA.
-    """
+
+    Multi-host: each process passes its LOCAL shard (its Loader already
+    partitions by rank/world) and the global array is assembled across
+    processes; single-process passes the full batch."""
+    multihost = jax.process_count() > 1
 
     def _put(x):
         x = np.asarray(x)
-        return jax.device_put(x, data_sharding(mesh, max(x.ndim, 1)))
+        sharding = data_sharding(mesh, max(x.ndim, 1))
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
 

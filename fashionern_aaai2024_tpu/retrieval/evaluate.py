@@ -39,9 +39,23 @@ class InferenceAPI:
     """Jitted padded-batch forwards over a trained model's variables."""
 
     def __init__(self, model, variables: dict, batch_size: int = 32,
-                 context_length: int = 77, tokenizer=None):
+                 context_length: int = 77, tokenizer=None, mesh=None):
         """`tokenizer`: callable (captions, context_length) → int32 [B, L];
-        defaults to the vendored CLIP BPE (`models.clip.tokenizer`)."""
+        defaults to the vendored CLIP BPE (`models.clip.tokenizer`).
+
+        `mesh`: optional DP mesh — batches are sharded over its `data`
+        axis so gallery/query embedding runs on every chip (the
+        "gallery embedding over ICI" scaling axis, SURVEY §5);
+        `batch_size` must divide by the mesh size."""
+        self.mesh = mesh
+        if mesh is not None:
+            from fashionern_aaai2024_tpu.parallel.mesh import DATA_AXIS
+
+            if batch_size % mesh.shape[DATA_AXIS]:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by mesh size "
+                    f"{mesh.shape[DATA_AXIS]}"
+                )
         self.model = model
         # device-resident leaves: converted checkpoints arrive as numpy,
         # and numpy params closed over by jit can't be indexed by tracers
@@ -70,25 +84,35 @@ class InferenceAPI:
 
         self._index = jax.jit(_index_fn)
 
+    def _place(self, arr: np.ndarray):
+        """Pad to the fixed batch and (if a mesh is set) shard the batch
+        axis over `data` so the jitted fn runs on all chips."""
+        arr = _pad_rows(np.asarray(arr), self.batch_size)
+        if self.mesh is None:
+            return arr
+        from fashionern_aaai2024_tpu.parallel.mesh import data_sharding
+
+        return jax.device_put(arr, data_sharding(self.mesh, arr.ndim))
+
     # --- padded-batch wrappers (host arrays in/out) -----------------------
     def encode_image(self, images: np.ndarray):
         n = images.shape[0]
-        g, tok = self._encode_image(_pad_rows(np.asarray(images), self.batch_size))
+        g, tok = self._encode_image(self._place(images))
         return np.asarray(g[:n]), np.asarray(tok[:n])
 
     def encode_text(self, token_ids: np.ndarray):
         n = token_ids.shape[0]
-        g, seq = self._encode_text(_pad_rows(np.asarray(token_ids), self.batch_size))
+        g, seq = self._encode_text(self._place(token_ids))
         return np.asarray(g[:n]), np.asarray(seq[:n])
 
     def query(self, ref_feats, ref_patch, text_g, text_seq) -> np.ndarray:
         n = ref_feats.shape[0]
         b = self.batch_size
         out = self._query(
-            _pad_rows(np.asarray(ref_feats, np.float32), b),
-            _pad_rows(np.asarray(ref_patch, np.float32), b),
-            _pad_rows(np.asarray(text_g, np.float32), b),
-            _pad_rows(np.asarray(text_seq, np.float32), b),
+            self._place(np.asarray(ref_feats, np.float32)),
+            self._place(np.asarray(ref_patch, np.float32)),
+            self._place(np.asarray(text_g, np.float32)),
+            self._place(np.asarray(text_seq, np.float32)),
         )
         return np.asarray(out[:n])
 
@@ -105,6 +129,12 @@ class InferenceAPI:
 
     def tokenize(self, captions: Sequence[str]) -> np.ndarray:
         return self._tokenizer(captions, self.context_length)
+
+    def gallery_encode_fn(self) -> Callable:
+        """encode_image closure for `engine.embed_gallery` — padded and
+        mesh-sharded placement, device outputs (readback pipelined by
+        the engine)."""
+        return lambda imgs: self._encode_image(self._place(imgs))
 
 
 def last_wins_rows(names: Sequence[str]) -> dict[str, int]:
@@ -165,7 +195,7 @@ def evaluate_fiq_split(api, classic_loader, relative_loader,
     """One dress type (reference `compute_fiq_val_metrics`,
     `validate_fiq.py:11-47`); also serves the VAL protocol with its
     extended K list (`test_val.py:58-67`)."""
-    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    gallery = embed_gallery(api.gallery_encode_fn(), classic_loader, api.batch_size)
     preds, meta = generate_predictions(
         api, relative_loader, fiq_caption_fn, gallery, collect=("tar_name",)
     )
@@ -178,7 +208,7 @@ def evaluate_fiq_split(api, classic_loader, relative_loader,
 
 
 def evaluate_shoes(api, classic_loader, relative_loader) -> dict:
-    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    gallery = embed_gallery(api.gallery_encode_fn(), classic_loader, api.batch_size)
     preds, meta = generate_predictions(
         api, relative_loader, plain_caption_fn, gallery, collect=("tar_name",)
     )
@@ -190,7 +220,7 @@ def evaluate_shoes(api, classic_loader, relative_loader) -> dict:
 def evaluate_fashion200k(api, classic_loader, relative_loader) -> dict:
     """Gallery names are caption ids → duplicate ids encode the
     multi-positive semantics (`test_200k.py:53-60`)."""
-    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    gallery = embed_gallery(api.gallery_encode_fn(), classic_loader, api.batch_size)
     preds, meta = generate_predictions(
         api, relative_loader, plain_caption_fn, gallery,
         collect=("tar_id",), ref_key="ref_id",
@@ -204,7 +234,7 @@ def evaluate_cirr(api, classic_loader, relative_loader) -> dict:
     """Full CIRR suite on the val split: R@K with the reference image
     dropped from the ranking + subset recall among the 6 group members
     (`validate_cirr.py:11-126`)."""
-    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    gallery = embed_gallery(api.gallery_encode_fn(), classic_loader, api.batch_size)
     preds, meta = generate_predictions(
         api, relative_loader, plain_caption_fn, gallery,
         collect=("tar_name", "ref_name", "group_members"),
@@ -231,7 +261,7 @@ def generate_cirr_submission(api, classic_loader, relative_loader) -> dict:
     The reference repo stops at the val split (`run/test/test_cirr.py`);
     its test1 dataloader branch (`dataloader/cirr.py:75-77`) feeds this.
     """
-    gallery = embed_gallery(api._encode_image, classic_loader, api.batch_size)
+    gallery = embed_gallery(api.gallery_encode_fn(), classic_loader, api.batch_size)
     preds, meta = generate_predictions(
         api, relative_loader, plain_caption_fn, gallery,
         collect=("pair_id", "ref_name", "group_members"),

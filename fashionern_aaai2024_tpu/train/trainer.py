@@ -244,9 +244,15 @@ class Trainer:
             train_dataset if train_dataset is not None
             else self.plugin.make_train_dataset(cfg)
         )
+        # per-process shard: each host loads global_batch / process_count
+        # samples (DistributedSampler semantics); shard_batch assembles
+        # the global array across processes
+        n_proc = jax.process_count()
+        global_batch = cfg.batch_size * self.mesh.shape[meshlib.DATA_AXIS]
         self.loader = Loader(
-            self.train_dataset, cfg.batch_size * self.mesh.shape[meshlib.DATA_AXIS],
+            self.train_dataset, global_batch // n_proc,
             shuffle=True, seed=cfg.seed, drop_last=True, num_workers=cfg.num_workers,
+            rank=jax.process_index(), world_size=n_proc,
         )
         steps_per_epoch = max(1, len(self.loader))
         self.schedule = cosine_annealing_schedule(

@@ -234,3 +234,52 @@ class TestCIRRSubmission:
             assert names[i] not in srow
             # subset candidates come from the group members
             assert set(srow) <= set(rel_items[i]["group_members"])
+
+
+class TestMeshShardedInference:
+    def test_sharded_eval_matches_single_device(self):
+        """InferenceAPI(mesh=...) shards batches over the data axis; the
+        evaluator results must be identical to the unsharded run."""
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+
+        model = composed.ComposedCIRModel(TINY, patch_num=13)
+        k = jax.random.PRNGKey(0)
+        g = np.random.default_rng(0)
+        variables = model.init(
+            {"params": k, "dropout": k},
+            g.random((2, 32, 32, 3), dtype=np.float32),
+            g.random((2, 32, 32, 3), dtype=np.float32),
+            g.integers(0, 100, (2, 16)).astype(np.int32),
+            g.standard_normal((2, 13, DIM), dtype=np.float32),
+            g.standard_normal((2, 13, DIM), dtype=np.float32),
+            deterministic=False, method=model.train_forward,
+        )
+        plain = E.InferenceAPI(model, variables, batch_size=8,
+                               context_length=16, tokenizer=fake_tokenizer)
+        sharded = E.InferenceAPI(model, variables, batch_size=8,
+                                 context_length=16, tokenizer=fake_tokenizer,
+                                 mesh=create_mesh(8))
+        names = [f"img{i}" for i in range(N_GALLERY)]
+        rel = [
+            {
+                "ref_name": names[i],
+                "tar_name": names[(i + 3) % N_GALLERY],
+                "captions": ["is red", "has sleeves"],
+                "ref_patch": np.random.default_rng(40 + i)
+                .standard_normal((13, DIM)).astype(np.float32),
+            }
+            for i in range(10)
+        ]
+        m1 = E.evaluate_fiq_split(plain, Loader(make_gallery_items(names), 8, num_workers=0),
+                                  Loader(rel, 8, num_workers=0))
+        m2 = E.evaluate_fiq_split(sharded, Loader(make_gallery_items(names), 8, num_workers=0),
+                                  Loader(rel, 8, num_workers=0))
+        assert m1 == m2
+
+    def test_indivisible_batch_rejected(self):
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+
+        model = composed.ComposedCIRModel(TINY, patch_num=13)
+        with pytest.raises(ValueError, match="not divisible"):
+            E.InferenceAPI(model, {"params": {}}, batch_size=6,
+                           mesh=create_mesh(8))
