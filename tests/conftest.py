@@ -10,9 +10,13 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in _flags:
+    # compile speed over runtime speed for the CPU test mesh: halves the
+    # train-step compile times that dominate the suite; numerics are
+    # unchanged (all parity tests pass at this level)
+    _flags = (_flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax
 
