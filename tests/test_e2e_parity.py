@@ -169,3 +169,90 @@ class TestEndToEndParity:
         gal_ids, vocab = names_to_ids(names)
         got = M.recall_at_k(gal_ids[got_idx], M.names_to_id_array(tgt, vocab), (10,))
         assert got[10] == pytest.approx(want_r10)
+
+
+RN_TINY = clip_config.CLIPConfig(
+    name="rn-test",
+    vision=clip_config.VisionConfig(
+        kind="resnet", image_size=64, embed_dim=D, width=16, layers=(1, 1, 1, 1),
+        heads=8,
+    ),
+    text=TINY.text,
+)
+
+
+class TestEndToEndParityRN50x4Path:
+    """Same pipeline parity through the modified-ResNet tower — covers
+    the BN batch_stats plumbing (converter → merge_variables →
+    InferenceAPI) that the ViT path doesn't exercise."""
+
+    def test_pipeline_matches_torch_reference(self):
+        import torch as _torch
+
+        from tests.torch_clip_reference import ModifiedResNetTorch
+        from tests.torch_clip_reference import CLIPTorch as _CLIPTorch
+        from models.model import ERN as TorchERN
+
+        _torch.manual_seed(7)
+        vision = ModifiedResNetTorch([1, 1, 1, 1], D, 8, 64, 16)
+        tclip = _CLIPTorch(vision, dict(vocab=100, ctx=CTX, width=32, heads=4,
+                                        layers=2, embed_dim=D,
+                                        act=_torch.nn.GELU())).eval()
+        tern = TorchERN(clip_model=None, feature_dim=D, device="cpu").eval()
+
+        g = np.random.default_rng(9)
+        names = [f"img{i}" for i in range(12)]
+        images = g.random((12, 64, 64, 3), dtype=np.float32)
+        patches = g.standard_normal((12, 13, D)).astype(np.float32)
+        queries = [{
+            "ref_name": names[i],
+            "tar_name": names[(i + 4) % 12],
+            "captions": ["low red", "is red"],
+            "ref_patch": patches[i],
+        } for i in range(6)]
+        data = (names, images, patches, queries)
+
+        # torch oracle: resnet visual returns only the global feature
+        timg = torch.tensor(images.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            index_feats = tclip.visual(timg)
+            name_to_feat = dict(zip(names, index_feats))
+            caps = [
+                f"{q['captions'][0].strip('.?, ').capitalize()} and {q['captions'][1].strip('.?, ')}"
+                for q in queries
+            ]
+            ids = torch.tensor(fake_tokenizer(caps).astype(np.int64))
+            text_g, text_seq = tclip.encode_text(ids)
+            ref_feats = torch.stack([name_to_feat[q["ref_name"]] for q in queries])
+            pred = tern(ref_feats=ref_feats,
+                        ref_local_feats=torch.tensor(np.stack([q["ref_patch"] for q in queries])),
+                        text_feats=text_g, text_seq_feats=text_seq, mode="test")
+            idxn = F.normalize(index_feats, dim=-1).float()
+            refined = tern(tar_feats=idxn, tar_local_feats=torch.tensor(patches),
+                           mode="index").float()
+            order = torch.argsort(1 - pred @ refined.T, dim=-1)
+
+        model = composed.ComposedCIRModel(RN_TINY, patch_num=13)
+        variables = composed.merge_variables(
+            clip_variables_from_torch(tclip.state_dict(), RN_TINY),
+            ern_variables_from_torch(tern.state_dict()),
+        )
+        api = E.InferenceAPI(model, variables, batch_size=8, context_length=CTX,
+                             tokenizer=fake_tokenizer)
+        gallery_items = [{"name": n, "image": images[i], "patch": patches[i]}
+                         for i, n in enumerate(names)]
+        gallery = E.embed_gallery(api.gallery_encode_fn(),
+                                  Loader(gallery_items, 8, num_workers=0),
+                                  api.batch_size)
+        preds, _ = E.generate_predictions(
+            api, Loader(list(queries), 8, num_workers=0), E.fiq_caption_fn, gallery,
+        )
+        got_refined = api.refine_gallery(gallery.features, gallery.local_features)
+        from fashionern_aaai2024_tpu.retrieval.engine import RetrievalIndex
+
+        index = RetrievalIndex(gallery.names, got_refined)
+        _, got_idx = index.search(preds, k=12)
+
+        np.testing.assert_allclose(preds, np.asarray(pred), atol=3e-4)
+        np.testing.assert_allclose(got_refined, np.asarray(refined), atol=3e-4)
+        np.testing.assert_array_equal(got_idx, np.asarray(order))
