@@ -161,22 +161,36 @@ def train_bench(model_name: str, batch: int, precision: str = "fp32") -> dict:
 
 
 def search_bench(n_gallery: int = 200_000, n_queries: int = 1024,
-                 dim: int = 640, k: int = 51) -> dict:
+                 dim: int = 640, k: int = 51, int8: bool = False) -> dict:
     """Retrieval matmul + running top-k over a Fashion200k-scale gallery
-    (`ops.similarity.blocked_top_k_similarity`)."""
+    (`ops.similarity.blocked_top_k_similarity`; `--int8` uses the
+    quantized-gallery path, `ops.quant`)."""
+    from fashionern_aaai2024_tpu.ops.quant import (
+        blocked_top_k_similarity_int8, quantize_rows,
+    )
     from fashionern_aaai2024_tpu.ops.similarity import blocked_top_k_similarity
 
     g = np.random.default_rng(0)
     gal = jnp.asarray(g.standard_normal((n_gallery, dim)).astype(np.float32))
     q = jnp.asarray(g.standard_normal((n_queries, dim)).astype(np.float32))
 
-    @jax.jit
-    def search(q, gal):
-        return blocked_top_k_similarity(q, gal, k=k)
+    if int8:
+        gal_q, scales = quantize_rows(gal)
 
-    dt = bench_fn(search, q, gal, iters=10)
+        @jax.jit
+        def search(q):
+            return blocked_top_k_similarity_int8(q, gal_q, scales, k=k)
+
+        dt = bench_fn(search, q, iters=10)
+    else:
+        @jax.jit
+        def search(q, gal):
+            return blocked_top_k_similarity(q, gal, k=k)
+
+        dt = bench_fn(search, q, gal, iters=10)
+    suffix = "_int8" if int8 else ""
     return {
-        "metric": f"retrieval_queries_per_sec_n{n_gallery}_d{dim}",
+        "metric": f"retrieval_queries_per_sec_n{n_gallery}_d{dim}{suffix}",
         "value": round(n_queries / dt, 2),
         "unit": "queries/sec",
         "batch": n_queries,
@@ -200,6 +214,7 @@ def main():
                                      precision=args.precision)))
     if args.suite == "search":
         print(json.dumps(search_bench()))
+        print(json.dumps(search_bench(int8=True)))
 
 
 if __name__ == "__main__":

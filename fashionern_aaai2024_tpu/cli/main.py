@@ -78,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "recall_subset_submission.json here instead of metrics")
     e.add_argument("--data-parallel", action="store_true",
                    help="shard eval batches over all devices (DP mesh over ICI)")
+    e.add_argument("--quantize-gallery", action="store_true",
+                   help="int8 gallery for the top-k search (4x less HBM)")
 
     sub.add_parser("info", help="print registered backbones/datasets/losses")
 
@@ -198,7 +200,8 @@ def run_eval(args) -> dict:
 
         mesh = create_mesh()
     api = E.InferenceAPI(model, variables, batch_size=args.batch_size,
-                         context_length=clip_cfg.text.context_length, mesh=mesh)
+                         context_length=clip_cfg.text.context_length, mesh=mesh,
+                         quantize_gallery=getattr(args, "quantize_gallery", False))
     dim = clip_cfg.input_dim
     pad = _pad_mode(args.transform)
     mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio)

@@ -116,15 +116,37 @@ def embed_gallery(
 
 
 class RetrievalIndex:
-    """Refined gallery embeddings + top-k search + member-score gather."""
+    """Refined gallery embeddings + top-k search + member-score gather.
 
-    def __init__(self, names: Sequence[str], features: np.ndarray):
+    `quantize=True` stores the gallery int8 with per-row scales (4× less
+    HBM; serving option, `ops.quant`) — search rescales to fp32 before
+    the running top-k. The fp32 features are kept on host for
+    `scores_for` (CIRR subset recall needs exact per-member scores)."""
+
+    def __init__(self, names: Sequence[str], features: np.ndarray,
+                 quantize: bool = False):
         self.names = list(names)
         self.ids, self.vocab = names_to_ids(self.names)
-        self.features = jnp.asarray(features)
+        self.quantized = quantize
+        if quantize:
+            from fashionern_aaai2024_tpu.ops.quant import quantize_rows
 
-    def search(self, query_features: np.ndarray, k: int = 51, chunk: int = 8192):
+            self._host_features = np.asarray(features, np.float32)
+            self.features_q, self.scales = quantize_rows(jnp.asarray(features))
+            self.features = None
+        else:
+            self.features = jnp.asarray(features)
+
+    def search(self, query_features: np.ndarray, k: int = 51, chunk: int | None = None):
         """→ (scores [Q,k], gallery row indices [Q,k])."""
+        if self.quantized:
+            from fashionern_aaai2024_tpu.ops.quant import blocked_top_k_similarity_int8
+
+            scores, idx = blocked_top_k_similarity_int8(
+                jnp.asarray(query_features), self.features_q, self.scales,
+                k=k, chunk=chunk,
+            )
+            return np.asarray(scores), np.asarray(idx)
         scores, idx = blocked_top_k_similarity(
             jnp.asarray(query_features), self.features, k=k, chunk=chunk
         )
@@ -137,7 +159,7 @@ class RetrievalIndex:
     def scores_for(self, query_features: np.ndarray, member_rows: np.ndarray):
         """Similarity of each query to a small per-query member set
         (CIRR subset recall). member_rows: [Q, G] row indices."""
-        gal = np.asarray(self.features)
+        gal = self._host_features if self.quantized else np.asarray(self.features)
         members = gal[member_rows]                      # [Q, G, d]
         return np.einsum("qd,qgd->qg", np.asarray(query_features), members)
 
@@ -150,7 +172,7 @@ def sharded_search(
     query_features: jnp.ndarray,
     gallery_features: jnp.ndarray,
     k: int = 51,
-    chunk: int = 8192,
+    chunk: int | None = None,
 ):
     """Top-k over a mesh-sharded gallery: each shard computes a local
     top-k via the blocked scan, then shard results are merged. Queries

@@ -39,15 +39,20 @@ class InferenceAPI:
     """Jitted padded-batch forwards over a trained model's variables."""
 
     def __init__(self, model, variables: dict, batch_size: int = 32,
-                 context_length: int = 77, tokenizer=None, mesh=None):
+                 context_length: int = 77, tokenizer=None, mesh=None,
+                 quantize_gallery: bool = False):
         """`tokenizer`: callable (captions, context_length) → int32 [B, L];
         defaults to the vendored CLIP BPE (`models.clip.tokenizer`).
+
+        `quantize_gallery`: store refined gallery embeddings int8 for
+        the top-k search (4× less HBM; `ops.quant` serving option).
 
         `mesh`: optional DP mesh — batches are sharded over its `data`
         axis so gallery/query embedding runs on every chip (the
         "gallery embedding over ICI" scaling axis, SURVEY §5);
         `batch_size` must divide by the mesh size."""
         self.mesh = mesh
+        self.quantize_gallery = quantize_gallery
         if mesh is not None:
             from fashionern_aaai2024_tpu.parallel.mesh import DATA_AXIS
 
@@ -172,7 +177,8 @@ def generate_predictions(
 
 def _search_ids(api, gallery: GalleryFeatures, preds: np.ndarray, k: int):
     refined = api.refine_gallery(gallery.features, gallery.local_features)
-    index = RetrievalIndex(gallery.names, refined)
+    index = RetrievalIndex(gallery.names, refined,
+                           quantize=getattr(api, "quantize_gallery", False))
     k = min(k, len(gallery.names))
     scores, idx = index.search(preds, k=k)
     return index, index.topk_ids(idx)
@@ -240,7 +246,8 @@ def evaluate_cirr(api, classic_loader, relative_loader) -> dict:
         collect=("tar_name", "ref_name", "group_members"),
     )
     refined = api.refine_gallery(gallery.features, gallery.local_features)
-    index = RetrievalIndex(gallery.names, refined)
+    index = RetrievalIndex(gallery.names, refined,
+                           quantize=getattr(api, "quantize_gallery", False))
     k = min(51, len(gallery.names))
     _, idx = index.search(preds, k=k)
     topk_ids = index.topk_ids(idx)

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from fashionern_aaai2024_tpu.retrieval import engine, metrics
 
@@ -123,3 +124,47 @@ class TestEmbedGallery:
         assert len(gf.names) == 5
         assert gf.features.shape == (5, 3)
         assert gf.local_features.shape == (5, 13, 3)
+
+
+class TestQuantizedIndex:
+    def test_roundtrip_error_bounded(self, rng):
+        from fashionern_aaai2024_tpu.ops.quant import dequantize_rows, quantize_rows
+
+        x = rng.standard_normal((40, 16)).astype(np.float32)
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+        q, s = quantize_rows(jnp.asarray(x))
+        back = np.asarray(dequantize_rows(q, s))
+        assert np.abs(back - x).max() < 1.0 / 127
+        assert np.asarray(q).dtype == np.int8
+
+    def test_rank_agreement_vs_fp32(self, rng):
+        from fashionern_aaai2024_tpu.retrieval.engine import RetrievalIndex
+
+        n, d, qn, k = 400, 32, 24, 20
+        gal = rng.standard_normal((n, d)).astype(np.float32)
+        gal /= np.linalg.norm(gal, axis=-1, keepdims=True)
+        q = rng.standard_normal((qn, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        names = [f"g{i}" for i in range(n)]
+        exact = RetrievalIndex(names, gal)
+        quant = RetrievalIndex(names, gal, quantize=True)
+        _, ei = exact.search(q, k=k)
+        _, qi = quant.search(q, k=k)
+        # top-k sets overlap ≥ 95% (quantization may swap near-ties)
+        overlap = np.mean([
+            len(set(ei[i]) & set(qi[i])) / k for i in range(qn)
+        ])
+        assert overlap >= 0.95, overlap
+        # top-1 identical on well-separated random data
+        assert (ei[:, 0] == qi[:, 0]).mean() >= 0.9
+
+    def test_scores_for_uses_exact_features(self, rng):
+        from fashionern_aaai2024_tpu.retrieval.engine import RetrievalIndex
+
+        gal = rng.standard_normal((10, 8)).astype(np.float32)
+        q = rng.standard_normal((2, 8)).astype(np.float32)
+        names = [f"g{i}" for i in range(10)]
+        rows = np.array([[0, 1, 2], [3, 4, 5]])
+        exact = RetrievalIndex(names, gal).scores_for(q, rows)
+        quant = RetrievalIndex(names, gal, quantize=True).scores_for(q, rows)
+        np.testing.assert_allclose(exact, quant, rtol=1e-6)
