@@ -69,6 +69,7 @@ class PatchFeatureStore:
         """Consolidate into one memory-mappable pack file."""
         names = list(names)
         assert features.shape[0] == len(names)
+        os.makedirs(root, exist_ok=True)
         np.save(os.path.join(root, "pack.npy"), features.astype(np.float32))
         with open(os.path.join(root, "pack.names.json"), "w") as f:
             json.dump(names, f)
