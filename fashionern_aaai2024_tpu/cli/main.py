@@ -19,13 +19,18 @@ import json
 import sys
 
 
+def _backbones() -> list:
+    from fashionern_aaai2024_tpu.models.clip.config import _CONFIGS
+
+    return sorted(_CONFIGS)
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset", default="fashioniq",
                    choices=["fashioniq", "fashioniq-val", "cirr", "shoes", "fashion200k"])
     p.add_argument("--data-root", required=True,
                    help="Dataset root directory (replaces the reference's hardcoded paths)")
-    p.add_argument("--clip-model-name", default="RN50x4",
-                   choices=["ViT-B-16", "RN50x4"])
+    p.add_argument("--clip-model-name", default="RN50x4", choices=_backbones())
     p.add_argument("--patch-num", default=13, type=int)
     p.add_argument("--num-workers", default=4, type=int)
     p.add_argument("--target-ratio", default=1.25, type=float)
@@ -88,8 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--data-root", required=True)
     x.add_argument("--dataset", default="fashioniq",
                    choices=["fashioniq", "cirr", "shoes", "fashion200k"])
-    x.add_argument("--clip-model-name", default="RN50x4",
-                   choices=["ViT-B-16", "RN50x4"])
+    x.add_argument("--clip-model-name", default="RN50x4", choices=_backbones())
     x.add_argument("--clip-path", default=None,
                    help="fine-tuned CLIP checkpoint for the crop encoder")
     x.add_argument("--out-dir", required=True)
@@ -108,8 +112,7 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--src", required=True)
     cc.add_argument("--out", required=True)
     cc.add_argument("--kind", required=True, choices=["clip", "ern"])
-    cc.add_argument("--clip-model-name", default="RN50x4",
-                    choices=["ViT-B-16", "RN50x4"])
+    cc.add_argument("--clip-model-name", default="RN50x4", choices=_backbones())
     return parser
 
 

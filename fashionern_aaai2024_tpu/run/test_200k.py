@@ -1,0 +1,9 @@
+"""Mirror of the reference `run/test_200k.py` entry point
+(preset: eval --dataset fashion200k); flags are the `fashionern eval` flags."""
+
+import sys
+
+from fashionern_aaai2024_tpu.run import _run
+
+if __name__ == "__main__":
+    sys.exit(_run("eval", "fashion200k"))

@@ -148,3 +148,26 @@ class TestTrainEndToEnd:
         )
         run_train(args)
         assert os.path.exists(tmp_path / "ckpt" / "fashioniq-resume")
+
+
+class TestRunMirrors:
+    def test_all_ten_entry_points_exist(self):
+        import importlib
+
+        for name in ("train_fiq", "train_cirr", "train_shoes", "train_200k",
+                      "test_fiq", "test_val", "test_cirr", "test_shoes",
+                      "test_200k"):
+            mod = importlib.import_module(f"fashionern_aaai2024_tpu.run.{name}")
+            assert hasattr(mod, "sys")
+
+    def test_mirror_forwards_dataset_preset(self, fiq_root, tiny_backbone, bpe_file,
+                                            monkeypatch, capsys):
+        from fashionern_aaai2024_tpu.run import _run
+
+        monkeypatch.setattr("sys.argv", [
+            "test_fiq", "--data-root", fiq_root, "--clip-model-name", tiny_backbone,
+            "--batch-size", "4", "--num-workers", "0", "--json",
+        ])
+        assert _run("eval", "fashioniq") == 0
+        out = capsys.readouterr().out
+        assert '"mean_recall_at50": 100.0' in out
