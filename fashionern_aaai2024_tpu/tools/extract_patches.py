@@ -71,11 +71,16 @@ class PatchExtractor:
         self.n_crops = sum(g * g for g in GRIDS)
 
     def extract_batch(self, paths: Sequence) -> np.ndarray:
-        """[B, 13, feat] for B ≤ batch_images paths."""
+        """[B, 13, feat] for B ≤ batch_images paths. Host crop prep is
+        threaded so decode overlaps the previous batch's device work."""
+        import concurrent.futures as futures
+
         b = len(paths)
-        crops = np.stack([
-            image_to_crop_array(p, self.dim, self.target_ratio) for p in paths
-        ])  # [B, 13, d, d, 3]
+        with futures.ThreadPoolExecutor(min(8, max(1, b))) as pool:
+            crops = np.stack(list(pool.map(
+                lambda p: image_to_crop_array(p, self.dim, self.target_ratio),
+                paths,
+            )))  # [B, 13, d, d, 3]
         flat = crops.reshape(b * self.n_crops, self.dim, self.dim, 3)
         pad = self.batch_images * self.n_crops - flat.shape[0]
         if pad:

@@ -407,3 +407,33 @@ class TestBf16Precision:
                 train_dataset=SyntheticRelativeDataset(), validator=None,
                 plugin=plugin, tokenizer=fake_tokenizer,
             )
+
+
+class TestDeterminism:
+    def test_same_seed_same_losses(self, tmp_path):
+        """Full-run reproducibility: PRNGKey + host RNG discipline (the
+        reference's setup_seed(42) role, `utils/utils.py:15-19`)."""
+        from fashionern_aaai2024_tpu.train.trainer import (
+            DatasetPlugin, TrainConfig, Trainer, _fiq_captions,
+        )
+
+        def run(tag):
+            cfg = TrainConfig(
+                dataset="fashioniq", batch_size=2, num_epochs=1, lr=1e-3,
+                num_workers=0, ckpt_dir=str(tmp_path / tag), print_frequency=1000,
+                seed=7,
+            )
+            plugin = DatasetPlugin(
+                "synthetic", lambda c: SyntheticRelativeDataset(), _fiq_captions
+            )
+            tr = Trainer(
+                cfg, mesh=meshlib.create_mesh(2), model=tiny_model(),
+                train_dataset=SyntheticRelativeDataset(), validator=None,
+                plugin=plugin, tokenizer=fake_tokenizer,
+            )
+            tr.train()
+            return jax.tree_util.tree_map(np.asarray, tr.state.ern_params)
+
+        a, b = run("a"), run("b")
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+            np.testing.assert_array_equal(x, y)
