@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fashionern_aaai2024_tpu.ops.common import round_up, use_pallas
+from fashionern_aaai2024_tpu.ops.common import round_up
 
 _ROW_TILE = 256
 

@@ -202,3 +202,20 @@ class TestFusedCombiner:
         got = np.asarray(combiner_apply(img, txt, v["params"],
                                         force_pallas=True, interpret=True))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestBBCKernelTiling:
+    @pytest.mark.parametrize("b,d", [(8, 16), (130, 24), (512, 64)])
+    def test_interpret_matches_ref_across_tilings(self, rng, b, d):
+        """Covers the multi-tile output layout that failed on real TPU at
+        B=512 (Mosaic sublane rule) — interpret mode checks the padding
+        and masking logic at 1-tile, ragged, and 4-tile batch sizes."""
+        from fashionern_aaai2024_tpu.ops.losses import (
+            _bbc_rowloss_pallas, _bbc_rowloss_ref,
+        )
+
+        pred = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+        tar = jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+        got = np.asarray(_bbc_rowloss_pallas(pred, tar, 100.0, interpret=True))
+        want = np.asarray(_bbc_rowloss_ref(pred, tar, 100.0))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
