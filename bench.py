@@ -103,4 +103,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # transient tunnel/compile-service failures
+        import traceback
+
+        traceback.print_exc()
+        time.sleep(20)
+        main()
