@@ -437,3 +437,32 @@ class TestDeterminism:
         a, b = run("a"), run("b")
         for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
             np.testing.assert_array_equal(x, y)
+
+
+class TestFeatureTrainStep:
+    def test_descends_on_cached_features(self, rng):
+        """Feature-only training path (pre-extracted CLIP features, no
+        image towers in the graph)."""
+        from fashionern_aaai2024_tpu.train.step import build_feature_train_step
+
+        model = tiny_model()
+        batch = tiny_batch(np.random.default_rng(0), b=8)
+        variables = init_variables(model, batch)
+        opt = optax.adam(1e-3)
+        state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        step = build_feature_train_step(model, opt, donate=False)
+        g = np.random.default_rng(1)
+        fbatch = {
+            "ref_feats": g.standard_normal((8, 24)).astype(np.float32),
+            "tar_feats": g.standard_normal((8, 24)).astype(np.float32),
+            "text_feats": g.standard_normal((8, 24)).astype(np.float32),
+            "text_seq_feats": g.standard_normal((8, 16, 24)).astype(np.float32),
+            "ref_patch": g.standard_normal((8, 13, 24)).astype(np.float32),
+            "tar_patch": g.standard_normal((8, 13, 24)).astype(np.float32),
+        }
+        losses = []
+        for _ in range(5):
+            state, loss = step(state, fbatch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
