@@ -283,3 +283,41 @@ class TestMeshShardedInference:
         with pytest.raises(ValueError, match="not divisible"):
             E.InferenceAPI(model, {"params": {}}, batch_size=6,
                            mesh=create_mesh(8))
+
+
+class TestBf16ServingPath:
+    def test_bf16_variables_match_fp32_recalls(self, api):
+        """Production serving runs the towers in bf16 (bench.py config);
+        the evaluator must produce the same recalls as fp32 on
+        well-separated synthetic data."""
+        import jax.numpy as jnp
+
+        bf16_vars = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            api.variables,
+        )
+        api16 = E.InferenceAPI(api.model, bf16_vars, batch_size=8,
+                               context_length=16, tokenizer=fake_tokenizer)
+        names = [f"img{i}" for i in range(N_GALLERY)]
+        g = np.random.default_rng(31)
+        rel = [
+            {
+                "ref_name": names[i],
+                "tar_name": names[(i + 2) % N_GALLERY],
+                "captions": ["is red", "short"],
+                "ref_patch": g.standard_normal((13, DIM)).astype(np.float32),
+            }
+            for i in range(8)
+        ]
+
+        def run(a):
+            return E.evaluate_fiq_split(
+                a, Loader(make_gallery_items(names), 8, num_workers=0),
+                Loader([dict(r) for r in rel], 8, num_workers=0),
+            )
+
+        m32, m16 = run(api), run(api16)
+        # identical at R@50 (gallery < 50); R@10 may differ by one
+        # near-tie under bf16 rounding
+        assert m16["recall_at50"] == m32["recall_at50"] == 100.0
+        assert abs(m16["recall_at10"] - m32["recall_at10"]) <= 2 * 100.0 / len(rel)
