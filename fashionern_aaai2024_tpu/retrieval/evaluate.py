@@ -122,14 +122,34 @@ class InferenceAPI:
         return np.asarray(out[:n])
 
     def refine_gallery(self, features: np.ndarray, local_features: np.ndarray,
-                       chunk: int = 256) -> np.ndarray:
-        """Index-tower pass over the whole gallery, fixed-chunk jit."""
-        out = np.empty_like(features, dtype=np.float32)
-        for i in range(0, features.shape[0], chunk):
-            f = _pad_rows(features[i : i + chunk], chunk)
-            l = _pad_rows(local_features[i : i + chunk], chunk)
-            r = self._index(f.astype(np.float32), l.astype(np.float32))
-            out[i : i + chunk] = np.asarray(r)[: features.shape[0] - i]
+                       chunk: int = 4096) -> np.ndarray:
+        """Index-tower pass over the whole gallery, fixed-chunk jit;
+        chunks shard over the mesh when one is set. Device work runs one
+        chunk ahead of the host readback."""
+        if self.mesh is not None:
+            from fashionern_aaai2024_tpu.parallel.mesh import DATA_AXIS
+
+            n_dev = self.mesh.shape[DATA_AXIS]
+            chunk = -(-chunk // n_dev) * n_dev
+        n = features.shape[0]
+        out = np.empty((n,) + features.shape[1:], dtype=np.float32)
+        pending = None  # (device result, start, rows)
+        for i in range(0, n, chunk):
+            f = _pad_rows(features[i : i + chunk], chunk).astype(np.float32)
+            l = _pad_rows(local_features[i : i + chunk], chunk).astype(np.float32)
+            if self.mesh is not None:
+                from fashionern_aaai2024_tpu.parallel.mesh import data_sharding
+
+                f = jax.device_put(f, data_sharding(self.mesh, f.ndim))
+                l = jax.device_put(l, data_sharding(self.mesh, l.ndim))
+            r = self._index(f, l)
+            if pending is not None:
+                pr, ps, pn = pending
+                out[ps : ps + pn] = np.asarray(pr)[:pn]
+            pending = (r, i, min(chunk, n - i))
+        if pending is not None:
+            pr, ps, pn = pending
+            out[ps : ps + pn] = np.asarray(pr)[:pn]
         return out
 
     def tokenize(self, captions: Sequence[str]) -> np.ndarray:
