@@ -311,15 +311,28 @@ def run_train(args) -> None:
 
 
 def run_info() -> dict:
+    from fashionern_aaai2024_tpu import __version__, native
     from fashionern_aaai2024_tpu.models.clip.config import _CONFIGS
+    from fashionern_aaai2024_tpu.models.zoo import _ZOO
     from fashionern_aaai2024_tpu.ops.extra_losses import LOSS_REGISTRY
     from fashionern_aaai2024_tpu.train.trainer import PLUGINS
 
-    return {
+    info = {
+        "version": __version__,
         "backbones": sorted(_CONFIGS),
         "datasets": sorted(PLUGINS),
         "losses": sorted(LOSS_REGISTRY),
+        "zoo_models": sorted(_ZOO),
+        "native_loader": native.available(),
     }
+    try:
+        import jax
+
+        info["backend"] = jax.default_backend()
+        info["devices"] = [str(d) for d in jax.devices()]
+    except Exception as e:  # no accelerator runtime configured
+        info["backend"] = f"unavailable ({type(e).__name__})"
+    return info
 
 
 def run_extract_patches(args) -> int:
