@@ -108,6 +108,12 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--pack-only", action="store_true",
                     help="only rebuild pack.npy from existing .npy files")
 
+    fb = sub.add_parser("fetch-bpe",
+                        help="download + hash-verify the CLIP BPE merges table "
+                             "into the package data dir (one-time setup)")
+    fb.add_argument("--dest-dir", default=None,
+                    help="install directory (default: models/clip/data/)")
+
     cc = sub.add_parser("convert-ckpt", help="torch checkpoint → Orbax params")
     cc.add_argument("--src", required=True)
     cc.add_argument("--out", required=True)
@@ -382,6 +388,11 @@ def main(argv=None) -> int:
         else:
             n = convert_dir(args.src, args.dst)
         print(f"converted {n}")
+        return 0
+    if args.command == "fetch-bpe":
+        from fashionern_aaai2024_tpu.tools.fetch_bpe import fetch_bpe
+
+        fetch_bpe(args.dest_dir)
         return 0
     if args.command == "convert-ckpt":
         from fashionern_aaai2024_tpu.tools.convert_checkpoint import convert

@@ -4,9 +4,11 @@ Pure-Python lowercased byte-pair encoding producing the exact token ids
 the reference's `open_clip.get_tokenizer(...)` yields
 (`run/train/train_fiq.py:52`, `run/valid/validate_fiq.py:59`), given the
 same merges table. The standard `bpe_simple_vocab_16e6.txt.gz` table is
-**not vendored** (it ships with open_clip); point
-`FASHIONERN_BPE_PATH` (or the `bpe_path` argument) at a copy. Tests use
-a small synthetic merges table.
+not redistributed in-repo; `fashionern fetch-bpe` installs it (one-time,
+hash-verified) into `models/clip/data/`, and `default_bpe_path()` also
+auto-discovers copies from open_clip/clip installs and the HF cache.
+Tests pin the algorithm against HF `transformers.CLIPTokenizer` as an
+independent oracle plus a real-table fixture when one is available.
 
 Differences from open_clip, documented:
   * `ftfy.fix_text` is skipped when ftfy is unavailable (mojibake repair
@@ -77,12 +79,43 @@ def whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+BPE_FILENAME = "bpe_simple_vocab_16e6.txt.gz"
+
+
 def default_bpe_path() -> str | None:
+    """Locate the CLIP merges table, searching in order:
+
+    1. `FASHIONERN_BPE_PATH` env var;
+    2. this package's data dir (`models/clip/data/`, where
+       `fashionern fetch-bpe` installs it) and alongside this module;
+    3. an installed `open_clip` / `clip` package (both vendor the file);
+    4. the HuggingFace hub cache (any snapshot containing the file).
+    """
     p = os.environ.get("FASHIONERN_BPE_PATH")
     if p and os.path.exists(p):
         return p
-    here = os.path.join(os.path.dirname(__file__), "bpe_simple_vocab_16e6.txt.gz")
-    return here if os.path.exists(here) else None
+    here = os.path.dirname(__file__)
+    for cand in (os.path.join(here, "data", BPE_FILENAME),
+                 os.path.join(here, BPE_FILENAME)):
+        if os.path.exists(cand):
+            return cand
+    for pkg in ("open_clip", "clip"):
+        try:
+            mod = __import__(pkg)
+            cand = os.path.join(os.path.dirname(mod.__file__), BPE_FILENAME)
+            if os.path.exists(cand):
+                return cand
+        except ImportError:
+            pass
+    import glob
+
+    hf_home = os.environ.get(
+        "HF_HOME", os.path.expanduser("~/.cache/huggingface")
+    )
+    hits = glob.glob(
+        os.path.join(hf_home, "hub", "**", BPE_FILENAME), recursive=True
+    )
+    return hits[0] if hits else None
 
 
 class SimpleTokenizer:
@@ -95,8 +128,10 @@ class SimpleTokenizer:
             bpe_path = bpe_path or default_bpe_path()
             if bpe_path is None:
                 raise FileNotFoundError(
-                    "No BPE merges table. Set FASHIONERN_BPE_PATH to a copy of "
-                    "open_clip's bpe_simple_vocab_16e6.txt.gz, or pass merges=."
+                    "No BPE merges table found. Run `fashionern fetch-bpe` "
+                    "once (downloads + hash-verifies the canonical "
+                    f"{BPE_FILENAME} into the package data dir), or set "
+                    "FASHIONERN_BPE_PATH to a copy of it, or pass merges=."
                 )
             opener = gzip.open if bpe_path.endswith(".gz") else open
             with opener(bpe_path, "rt", encoding="utf-8") as f:

@@ -1,6 +1,8 @@
 """CLIP towers: golden parity vs an independent torch implementation of
 the public OpenAI/open_clip architecture, plus BPE tokenizer behavior."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -165,3 +167,129 @@ class TestTokenizer:
 
     def test_case_and_whitespace_normalization(self, tok):
         assert tok.encode(" LOW\n  Red ") == tok.encode("low red")
+
+
+def _learn_bpe_merges(corpus: list[str], n_merges: int) -> list:
+    """Tiny BPE learner (frequency-greedy, `</w>` end-of-word scheme) —
+    produces a VALID ranked merges table so the algorithm can be pinned
+    against HF's independent CLIPTokenizer implementation on realistic
+    data, not just a hand-written 4-entry table."""
+    from collections import Counter
+
+    from fashionern_aaai2024_tpu.models.clip.tokenizer import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    words = Counter()
+    for line in corpus:
+        for w in line.lower().split():
+            enc = "".join(b2u[b] for b in w.encode("utf-8"))
+            words[tuple(enc[:-1]) + (enc[-1] + "</w>",)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for word, freq in words.items():
+            for a, b in zip(word[:-1], word[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        best = max(pairs, key=lambda p: (pairs[p], p))
+        merges.append(best)
+        new_words = Counter()
+        for word, freq in words.items():
+            out, i = [], 0
+            while i < len(word):
+                if (i < len(word) - 1
+                        and (word[i], word[i + 1]) == best):
+                    out.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_words[tuple(out)] += freq
+        words = new_words
+    return merges
+
+
+def _fixture_captions() -> list[str]:
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "bpe_captions.txt")
+    with open(path, encoding="utf-8") as f:
+        return [ln.rstrip("\n") for ln in f
+                if ln.strip() and not ln.startswith("#")]
+
+
+class TestTokenizerOracle:
+    """Pin the BPE implementation against HF transformers' independent
+    CLIPTokenizer (same vocab/merges files → identical ids), and against
+    the real CLIP table + recorded open_clip ids when available."""
+
+    def test_hf_clip_tokenizer_id_parity(self, tmp_path):
+        import json as _json
+
+        from transformers import CLIPTokenizer
+
+        from fashionern_aaai2024_tpu.models.clip.tokenizer import (
+            SimpleTokenizer, bytes_to_unicode,
+        )
+
+        captions = _fixture_captions()
+        merges = _learn_bpe_merges(captions, n_merges=400)
+        ours = SimpleTokenizer(merges=merges)
+
+        # vocab.json / merges.txt in the exact open_clip construction
+        # order, so ids must agree bit-for-bit
+        vocab = list(bytes_to_unicode().values())
+        vocab = vocab + [v + "</w>" for v in vocab]
+        vocab += ["".join(m) for m in merges]
+        vocab += ["<|startoftext|>", "<|endoftext|>"]
+        vocab_file = tmp_path / "vocab.json"
+        vocab_file.write_text(
+            _json.dumps({t: i for i, t in enumerate(vocab)}))
+        merges_file = tmp_path / "merges.txt"
+        merges_file.write_text(
+            "#version: synthetic\n"
+            + "\n".join(" ".join(m) for m in merges))
+        hf = CLIPTokenizer(str(vocab_file), str(merges_file))
+
+        checked = 0
+        for text in captions:
+            want = hf(text, add_special_tokens=True)["input_ids"]
+            got = [ours.sot_token] + ours.encode(text) + [ours.eot_token]
+            assert got == want, f"id mismatch on {text!r}: {got} != {want}"
+            checked += 1
+        assert checked >= 50
+
+    def test_real_table_fixture(self):
+        import json as _json
+
+        from fashionern_aaai2024_tpu.models.clip.tokenizer import (
+            SimpleTokenizer, default_bpe_path,
+        )
+
+        path = default_bpe_path()
+        if path is None:
+            pytest.skip(
+                "real BPE merges table not present (run `fashionern "
+                "fetch-bpe` in a networked env); algorithm pinned by "
+                "test_hf_clip_tokenizer_id_parity instead"
+            )
+        tok = SimpleTokenizer(bpe_path=path)
+        # open_clip invariants for the real 49408-entry vocab
+        assert tok.vocab_size == 49408
+        assert tok.sot_token == 49406
+        assert tok.eot_token == 49407
+        fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                               "bpe_real_ids.json")
+        if not os.path.exists(fixture):
+            pytest.skip(
+                "real table present but no recorded open_clip ids — run "
+                "tools/record_bpe_fixture.py and commit the JSON"
+            )
+        with open(fixture, encoding="utf-8") as f:
+            recorded = _json.load(f)
+        ctx = recorded["context_length"]
+        for text, want in recorded["ids"].items():
+            row = tok([text], context_length=ctx)[0].tolist()
+            while row and row[-1] == 0:
+                row.pop()
+            assert row == want, f"real-table id mismatch on {text!r}"

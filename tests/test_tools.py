@@ -181,3 +181,61 @@ class TestVisualizer:
         assert doc.count("data:image/jpeg;base64,") == 4
         assert 'class="hit"' in doc
         assert "&lt;red&gt;" in doc  # caption escaped
+
+
+class TestFetchBPE:
+    def _fake_table_bytes(self):
+        import gzip
+        import io
+
+        need = 49152 - 256 - 2 + 1
+        lines = ["bpe_simple_vocab_16e6 synthetic header"]
+        lines += [f"tok{i} en{i}</w>" for i in range(need + 10)]
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb") as g:
+            g.write("\n".join(lines).encode("utf-8"))
+        return buf.getvalue()
+
+    def test_fetch_verify_install_discover(self, tmp_path, monkeypatch):
+        import contextlib
+        import hashlib
+        import io
+        import urllib.request
+
+        from fashionern_aaai2024_tpu.models.clip import tokenizer as tok
+        from fashionern_aaai2024_tpu.tools import fetch_bpe as fb
+
+        data = self._fake_table_bytes()
+
+        @contextlib.contextmanager
+        def fake_urlopen(url, timeout=0):
+            yield io.BytesIO(data)
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        # wrong hash refuses to install
+        monkeypatch.setenv("FASHIONERN_BPE_SHA256", "0" * 64)
+        with pytest.raises(ValueError, match="SHA-256 mismatch"):
+            fb.fetch_bpe(str(tmp_path / "a"))
+        # correct hash installs; default_bpe_path discovers via env
+        monkeypatch.setenv("FASHIONERN_BPE_SHA256",
+                           hashlib.sha256(data).hexdigest())
+        dest = fb.fetch_bpe(str(tmp_path / "a"))
+        assert dest.endswith(tok.BPE_FILENAME)
+        monkeypatch.setenv("FASHIONERN_BPE_PATH", dest)
+        assert tok.default_bpe_path() == dest
+        t = tok.SimpleTokenizer(bpe_path=dest)
+        assert t.vocab_size == 49408
+        # idempotent second call
+        assert fb.fetch_bpe(str(tmp_path / "a")) == dest
+
+    def test_sanity_check_rejects_short_table(self):
+        import gzip
+        import io
+
+        from fashionern_aaai2024_tpu.tools import fetch_bpe as fb
+
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb") as g:
+            g.write(b"header\na b\nc d\n")
+        with pytest.raises(ValueError, match="too short"):
+            fb._sanity_check_table(buf.getvalue())
