@@ -11,7 +11,9 @@ Baseline: the reference publishes no throughput numbers
 documented estimate of the reference setup's per-GPU gallery embed
 rate: torch fp16 CLIP ViT-B/16 inference on a V100 at batch 32 as the
 reference runs it ≈ 500 images/sec/GPU. The ≥5× north-star in
-BASELINE.json refers to this figure.
+BASELINE.json refers to this figure; see BASELINE.md "Provenance of the
+500 img/s V100 denominator" for the derivation (fp32 reality ~300 img/s,
+fp16 upper bound ~950 — 500 is deliberately generous to the reference).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

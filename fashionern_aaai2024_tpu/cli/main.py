@@ -261,20 +261,22 @@ def run_eval(args) -> dict:
 
         return E.evaluate_shoes(
             api,
-            loader(ShoesDataset(args.data_root, "val", mode="classic", **mk)),
-            loader(ShoesDataset(args.data_root, "val", mode="relative", **mk)),
+            loader(ShoesDataset(args.data_root, args.split, mode="classic", **mk)),
+            loader(ShoesDataset(args.data_root, args.split, mode="relative", **mk)),
         )
-    # fashion200k
+    # fashion200k ("val" is the FIQ/CIRR-flavored default; the reference
+    # evaluates its test split, run/test/test_200k.py:116-193)
     from fashionern_aaai2024_tpu.data.fashion200k import (
         Fashion200kTestDataset, Fashion200kTestQueryDataset,
     )
 
+    split_200k = "test" if args.split == "val" else args.split
     return E.evaluate_fashion200k(
         api,
-        loader(Fashion200kTestDataset(args.data_root, dim=dim, pad_mode=pad,
-                                      target_ratio=args.target_ratio)),
-        loader(Fashion200kTestQueryDataset(args.data_root, dim=dim, pad_mode=pad,
-                                           target_ratio=args.target_ratio)),
+        loader(Fashion200kTestDataset(args.data_root, split=split_200k, dim=dim,
+                                      pad_mode=pad, target_ratio=args.target_ratio)),
+        loader(Fashion200kTestQueryDataset(args.data_root, split=split_200k, dim=dim,
+                                           pad_mode=pad, target_ratio=args.target_ratio)),
     )
 
 

@@ -113,9 +113,53 @@ def _text_tower(sd, cfg: CLIPConfig):
     }
 
 
-def clip_variables_from_torch(sd: Mapping[str, Any], cfg: CLIPConfig) -> dict:
-    """Full open_clip state_dict → `{"params": ..., "batch_stats": ...}`."""
-    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+# state_dict entries that are buffers/metadata, not convertible weights:
+# BN step counters, causal-mask buffers, and the size ints OpenAI's jit
+# checkpoints carry.
+_IGNORABLE_SUFFIXES = (".num_batches_tracked",)
+_IGNORABLE_KEYS = frozenset(
+    {"attn_mask", "context_length", "vocab_size", "input_resolution",
+     "visual.attn_mask", "transformer.attn_mask"}
+)
+
+
+def _is_ignorable(key: str) -> bool:
+    return key.endswith(_IGNORABLE_SUFFIXES) or key in _IGNORABLE_KEYS
+
+
+class _TrackingDict:
+    """Records which state_dict keys the converter consumed, so unknown
+    leftovers (a key-mapping gap) fail loudly instead of silently
+    shipping a partially-random model."""
+
+    def __init__(self, sd: Mapping[str, Any]):
+        self._sd = sd
+        self.used: set[str] = set()
+
+    def __getitem__(self, key: str) -> Any:
+        self.used.add(key)
+        return self._sd[key]
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._sd
+
+    def unconsumed(self) -> list[str]:
+        return sorted(
+            k for k in self._sd
+            if k not in self.used and not _is_ignorable(k)
+        )
+
+
+def clip_variables_from_torch(
+    sd: Mapping[str, Any], cfg: CLIPConfig, strict: bool = True
+) -> dict:
+    """Full open_clip state_dict → `{"params": ..., "batch_stats": ...}`.
+
+    strict=True (default) raises on state_dict keys the converter does
+    not consume (ignoring BN counters / mask buffers), the failure mode
+    the reference would hit as a `load_state_dict` error
+    (`run/test/test_fiq.py:142-146`). Missing keys raise KeyError."""
+    sd = _TrackingDict({k.removeprefix("module."): v for k, v in sd.items()})
     variables: dict = {"params": {}, "batch_stats": {}}
     if cfg.vision.kind == "vit":
         variables["params"]["visual"] = _vit_tower(sd, cfg)
@@ -127,4 +171,19 @@ def clip_variables_from_torch(sd: Mapping[str, Any], cfg: CLIPConfig) -> dict:
     variables["params"]["logit_scale"] = _np(sd["logit_scale"]).reshape(())
     if not variables["batch_stats"]:
         variables.pop("batch_stats")
+    leftovers = sd.unconsumed()
+    if leftovers:
+        msg = (
+            f"{len(leftovers)} state_dict key(s) not consumed converting "
+            f"{cfg.name}: {leftovers[:20]}"
+            + (" ..." if len(leftovers) > 20 else "")
+        )
+        if strict:
+            raise ValueError(
+                msg + " — pass strict=False to ignore (NOT recommended: "
+                "these weights would be silently dropped)"
+            )
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return variables

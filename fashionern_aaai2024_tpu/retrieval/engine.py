@@ -164,7 +164,14 @@ class RetrievalIndex:
         return np.einsum("qd,qgd->qg", np.asarray(query_features), members)
 
     def row_of(self, name: str) -> int:
-        return self.names.index(name)
+        if not hasattr(self, "_name_to_row"):
+            # first occurrence wins (list.index semantics) for the
+            # Fashion200k duplicate-name case
+            m: dict[str, int] = {}
+            for i, n in enumerate(self.names):
+                m.setdefault(n, i)
+            self._name_to_row = m
+        return self._name_to_row[name]
 
 
 def sharded_search(

@@ -1,4 +1,4 @@
-"""Mirror of the reference `run/traintrain_fiq.py` entry point
+"""Mirror of the reference `run/train/train_fiq.py` entry point
 (preset: train --dataset fashioniq); flags are the `fashionern train` flags."""
 
 import sys

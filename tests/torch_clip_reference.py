@@ -203,8 +203,16 @@ class CLIPTorch(nn.Module):
         self.transformer = t.transformer
         self.ln_final = t.ln_final
         self.text_projection = t.text_projection
-        self._text = t
+        # NOT a submodule: registering the whole tower would duplicate
+        # every text param under `_text.*` in the state_dict, which real
+        # open_clip checkpoints do not have
+        self.register_buffer("attn_mask", t.attn_mask, persistent=False)
         self.logit_scale = nn.Parameter(torch.tensor(2.6593))
 
     def encode_text(self, text):
-        return self._text(text)
+        x = self.token_embedding(text) + self.positional_embedding[None]
+        x = self.transformer(x, attn_mask=self.attn_mask)
+        x = self.ln_final(x)
+        seq = x @ self.text_projection
+        global_feat = seq[torch.arange(x.shape[0]), text.argmax(dim=-1)]
+        return global_feat, seq
