@@ -33,6 +33,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--clip-model-name", default="RN50x4", choices=_backbones())
     p.add_argument("--patch-num", default=13, type=int)
     p.add_argument("--num-workers", default=4, type=int)
+    p.add_argument("--worker-type", default="thread", choices=["thread", "process"],
+                   help="'process' = fork workers (reference DataLoader model), "
+                        "for decode-bound datasets")
     p.add_argument("--target-ratio", default=1.25, type=float)
     p.add_argument("--transform", default="targetpad",
                    choices=["targetpad", "squarepad", "none"])
@@ -107,6 +110,17 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--dst", default=None)
     cp.add_argument("--pack-only", action="store_true",
                     help="only rebuild pack.npy from existing .npy files")
+
+    mf = sub.add_parser("make-fixture",
+                        help="write a tiny synthetic on-disk dataset in the "
+                             "exact real layout (smoke tests / dress rehearsal)")
+    mf.add_argument("--dataset", required=True,
+                    choices=["fashioniq", "cirr", "shoes", "fashion200k"])
+    mf.add_argument("--out", required=True)
+    mf.add_argument("--dim", default=512, type=int,
+                    help="patch feature dim (512 ViT-B-16 / 640 RN50x4)")
+    mf.add_argument("--patch-num", default=13, type=int)
+    mf.add_argument("--seed", default=0, type=int)
 
     fb = sub.add_parser("fetch-bpe",
                         help="download + hash-verify the CLIP BPE merges table "
@@ -216,7 +230,8 @@ def run_eval(args) -> dict:
     mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio)
 
     def loader(ds):
-        return Loader(ds, args.batch_size, num_workers=args.num_workers)
+        return Loader(ds, args.batch_size, num_workers=args.num_workers,
+                      worker_type=getattr(args, "worker_type", "thread"))
 
     if args.dataset in ("fashioniq", "fashioniq-val"):
         from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
@@ -303,6 +318,7 @@ def run_train(args) -> None:
         target_ratio=args.target_ratio,
         patch_num=args.patch_num,
         num_workers=args.num_workers,
+        worker_type=getattr(args, "worker_type", "thread"),
         negatives=args.negatives,
         eval_batch_size=args.validation_bs,
         log_path=args.log_path,
@@ -390,6 +406,13 @@ def main(argv=None) -> int:
         else:
             n = convert_dir(args.src, args.dst)
         print(f"converted {n}")
+        return 0
+    if args.command == "make-fixture":
+        from fashionern_aaai2024_tpu.tools.make_fixture import make_fixture
+
+        root = make_fixture(args.out, args.dataset, dim=args.dim,
+                            patch_num=args.patch_num, seed=args.seed)
+        print(f"fixture written to {root} (bpe table: {root}/bpe.txt.gz)")
         return 0
     if args.command == "fetch-bpe":
         from fashionern_aaai2024_tpu.tools.fetch_bpe import fetch_bpe

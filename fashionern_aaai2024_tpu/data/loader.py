@@ -3,16 +3,33 @@
 Replaces the reference's `DataLoader(num_workers=4, pin_memory=True)` +
 `DistributedSampler` pair (`run/train/train_fiq.py:62-74`). Each JAX
 process iterates its own shard (rank/world), batches into numpy arrays
-(strings stay Python lists), and a thread pool prefetches ahead of the
+(strings stay Python lists), and a worker pool prefetches ahead of the
 device so decode/`.npy` IO overlaps with TPU compute.
+
+Two worker types:
+  * "thread" (default): zero-copy hand-off, but PIL JPEG/PNG decode
+    holds the GIL for significant stretches, capping scaling;
+  * "process": fork-based workers (the reference DataLoader's model) —
+    the dataset is inherited by fork (never pickled), items return via
+    pickle. Use for decode-bound datasets at large batch sizes.
 """
 
 from __future__ import annotations
 
 import concurrent.futures as futures
+import multiprocessing
 from typing import Any, Iterator, Sequence
 
 import numpy as np
+
+# Fork-inherited dataset handle: set in the parent immediately before
+# the pool forks, so workers read it as a plain global and no dataset
+# pickling ever happens (PatchFeatureStore mmaps stay mmaps).
+_WORKER_DATASET = None
+
+
+def _worker_get(i: int):
+    return _WORKER_DATASET[i]
 
 
 def default_collate(items: Sequence[dict]) -> dict:
@@ -45,7 +62,10 @@ class Loader:
         drop_last: bool = False,
         num_workers: int = 8,
         collate=default_collate,
+        worker_type: str = "thread",
     ):
+        if worker_type not in ("thread", "process"):
+            raise ValueError("worker_type must be 'thread' or 'process'")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -55,6 +75,7 @@ class Loader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.collate = collate
+        self.worker_type = worker_type
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -96,14 +117,34 @@ class Loader:
         # its items on one thread — measured 1.0x scaling at any worker
         # count; per-item gives near-linear scaling for decode-bound
         # datasets).
-        with futures.ThreadPoolExecutor(self.num_workers) as pool:
+        if self.worker_type == "process":
+            global _WORKER_DATASET
+            _WORKER_DATASET = self.dataset  # inherited by fork below
+            try:
+                pool = futures.ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=multiprocessing.get_context("fork"),
+                )
+                get = _worker_get
+            finally:
+                # children have forked (lazily at first submit on some
+                # versions, so keep it set until pool shutdown below)
+                pass
+        else:
+            pool = futures.ThreadPoolExecutor(self.num_workers)
+            get = self.dataset.__getitem__
+        try:
             depth = 2
 
             def submit(b):
-                return [pool.submit(self.dataset.__getitem__, int(i)) for i in b]
+                return [pool.submit(get, int(i)) for i in b]
 
             pending = [submit(b) for b in batches[:depth]]
             for i, _ in enumerate(batches):
                 if i + depth < len(batches):
                     pending.append(submit(batches[i + depth]))
                 yield self.collate([f.result() for f in pending[i]])
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+            if self.worker_type == "process":
+                _WORKER_DATASET = None

@@ -62,6 +62,7 @@ class TrainConfig:
     target_ratio: float = 1.25
     patch_num: int = 13
     num_workers: int = 8
+    worker_type: str = "thread"          # "thread" | "process" (fork, decode-bound)
     negatives: str = "local"              # "local" = per-shard (reference), "global"
     eval_batch_size: int = 32
     schedule_epochs: int = 100            # T_max = schedule_epochs · steps/epoch
@@ -145,8 +146,8 @@ def _fiq_validator(cfg: TrainConfig):
             relative = FashionIQDataset(cfg.data_root, "val", [dt], mode="relative",
                                         dim=dim, target_ratio=cfg.target_ratio)
             loaders[dt] = (
-                Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers),
-                Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers),
+                Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers, worker_type=cfg.worker_type),
+                Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers, worker_type=cfg.worker_type),
             )
         m = E.evaluate_fiq(api, loaders)
         return m["avg"], m
@@ -166,8 +167,8 @@ def _cirr_validator(cfg: TrainConfig):
                                target_ratio=cfg.target_ratio)
         m = E.evaluate_cirr(
             api,
-            Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers),
-            Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers),
+            Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers, worker_type=cfg.worker_type),
+            Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers, worker_type=cfg.worker_type),
         )
         return m["headline"], m
 
@@ -186,8 +187,8 @@ def _shoes_validator(cfg: TrainConfig):
                                 target_ratio=cfg.target_ratio)
         m = E.evaluate_shoes(
             api,
-            Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers),
-            Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers),
+            Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers, worker_type=cfg.worker_type),
+            Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers, worker_type=cfg.worker_type),
         )
         return m["avg"], m
 
@@ -252,6 +253,7 @@ class Trainer:
         self.loader = Loader(
             self.train_dataset, global_batch // n_proc,
             shuffle=True, seed=cfg.seed, drop_last=True, num_workers=cfg.num_workers,
+            worker_type=cfg.worker_type,
             rank=jax.process_index(), world_size=n_proc,
         )
         steps_per_epoch = max(1, len(self.loader))

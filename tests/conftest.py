@@ -21,6 +21,11 @@ os.environ["XLA_FLAGS"] = _flags
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is compile-bound on CPU; repeat
+# runs (the common reviewer/dev case) skip recompiles entirely.
+jax.config.update("jax_compilation_cache_dir", "/tmp/fashionern_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 # Parity tests compare fp32 numerics; keep matmuls at fp32 everywhere in
 # tests (TPU-default bf16 matmul precision is a production-path choice).
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -111,6 +111,7 @@ class TestParser:
 
 
 class TestEvalEndToEnd:
+    @pytest.mark.slow
     def test_fiq_eval(self, fiq_root, tiny_backbone, bpe_file):
         args = types.SimpleNamespace(
             dataset="fashioniq", data_root=fiq_root, clip_model_name=tiny_backbone,
@@ -124,6 +125,7 @@ class TestEvalEndToEnd:
         # 8-image gallery → R@50 ≡ 100
         assert m["mean_recall_at50"] == 100.0
 
+    @pytest.mark.slow
     def test_fiq_val_protocol(self, fiq_root, tiny_backbone, bpe_file):
         args = types.SimpleNamespace(
             dataset="fashioniq-val", data_root=fiq_root, clip_model_name=tiny_backbone,
@@ -135,6 +137,7 @@ class TestEvalEndToEnd:
         assert set(m["dress"]) == {f"recall_at{k}" for k in (1, 5, 10, 15, 20, 30, 40, 50)} | {"avg"}
 
 
+@pytest.mark.slow
 class TestTrainEndToEnd:
     def test_one_epoch(self, fiq_root, tiny_backbone, bpe_file, tmp_path):
         args = types.SimpleNamespace(

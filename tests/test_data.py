@@ -334,3 +334,43 @@ class TestFashion200kReferenceParity:
             shared = set(ours.imgs[idx]["parent_captions"]) & set(
                 ours.imgs[tgt]["parent_captions"])
             assert shared
+
+
+class TestProcessWorkers:
+    """Fork-based loader workers: same batches as the serial path, and
+    the dataset is inherited (never pickled)."""
+
+    def test_process_loader_matches_serial(self, tmp_path):
+        from fashionern_aaai2024_tpu.data.loader import Loader
+        from fashionern_aaai2024_tpu.tools.make_fixture import make_fixture
+        from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
+
+        make_fixture(str(tmp_path), "fashioniq", dim=16)
+        ds = FashionIQDataset(str(tmp_path), "train", ["dress"],
+                              mode="classic", dim=32)
+        serial = list(Loader(ds, 5, num_workers=0))
+        proc = list(Loader(ds, 5, num_workers=2, worker_type="process"))
+        assert len(serial) == len(proc)
+        for a, b in zip(serial, proc):
+            assert a["name"] == b["name"]
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["patch"], b["patch"])
+
+    def test_unpicklable_dataset_ok(self):
+        """fork inheritance means even an unpicklable dataset works."""
+        from fashionern_aaai2024_tpu.data.loader import Loader
+
+        class Unpicklable:
+            def __init__(self):
+                self.f = lambda i: {"x": np.full((2,), i, np.float32)}
+
+            def __getitem__(self, i):
+                return self.f(i)
+
+            def __len__(self):
+                return 7
+
+        out = list(Loader(Unpicklable(), 3, num_workers=2,
+                          worker_type="process"))
+        assert [b["x"][:, 0].tolist() for b in out] == [
+            [0, 1, 2], [3, 4, 5], [6]]

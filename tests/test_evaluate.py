@@ -236,6 +236,7 @@ class TestCIRRSubmission:
             assert set(srow) <= set(rel_items[i]["group_members"])
 
 
+@pytest.mark.slow
 class TestMeshShardedInference:
     def test_sharded_eval_matches_single_device(self):
         """InferenceAPI(mesh=...) shards batches over the data axis; the

@@ -11,6 +11,9 @@ import optax
 import pytest
 import torch
 
+# whole module is pjit-train-step compile-heavy on the CPU mesh
+pytestmark = pytest.mark.slow
+
 from fashionern_aaai2024_tpu.models import composed
 from fashionern_aaai2024_tpu.models.clip import config as clip_config
 from fashionern_aaai2024_tpu.ops.losses import batch_based_classification_loss

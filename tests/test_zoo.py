@@ -227,6 +227,7 @@ class TestRegistry:
             get_zoo_model("bogus")
 
 
+@pytest.mark.slow
 class TestCompoDiff:
     def test_forward_shapes(self, rng):
         from fashionern_aaai2024_tpu.models.zoo.compodiff import CompoDiffNetwork
