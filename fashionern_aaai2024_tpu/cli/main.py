@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write a jax.profiler trace of steady-state steps here")
     t.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
                    help="bf16 runs the frozen CLIP towers in bf16 (fusion stays fp32)")
+    t.add_argument("--cache-features", action="store_true",
+                   help="pre-encode unique train images once (CLIP is frozen); "
+                        "per-step image towers become lookups, text stays online")
 
     e = sub.add_parser("eval", help="run a retrieval benchmark")
     _add_common(e)
@@ -326,6 +329,7 @@ def run_train(args) -> None:
         resume_path=args.resume,
         profile_dir=args.profile_dir,
         precision=args.precision,
+        cache_features=getattr(args, "cache_features", False),
     )
     trainer = Trainer(cfg)
     if args.clip_model_path:

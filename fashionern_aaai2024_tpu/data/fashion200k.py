@@ -171,6 +171,10 @@ class Fashion200kDataset(_Fashion200kBase):
             "caption": mod_str,
             "ref_id": src_img["captions"][0],
             "tar_id": tgt_img["captions"][0],
+            # unique per-image keys (captions are multi-positive ids);
+            # used by the trainer's image-feature cache
+            "ref_name": src_img["file_path"],
+            "tar_name": tgt_img["file_path"],
             "ref_patch": self._patch(src_img["file_path"]),
             "tar_patch": self._patch(tgt_img["file_path"]),
         }

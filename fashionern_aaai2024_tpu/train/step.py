@@ -114,6 +114,51 @@ def build_train_step(
     return step
 
 
+def build_cached_image_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    **kwargs: Any,
+):
+    """Train step with *cached image features* but ONLINE text encoding
+    — the natural TPU recipe for this model family: CLIP is frozen and
+    patches are already offline products (SURVEY §0.3-0.4), so the two
+    image-tower passes (the bulk of the step's FLOPs) can be done once
+    per unique image before training; text must stay online because
+    caption randomization changes the text every step
+    (`utils/utils.py:102-123`).
+
+    Batch keys: ref_feats, tar_feats [B, d] cached raw CLIP globals;
+    text_ids [B, 77]; ref_patch, tar_patch."""
+
+    def forward(mdl_self, ref_feats, tar_feats, text_ids, ref_patch, tar_patch,
+                *, deterministic=False):
+        text_feats, text_seq = mdl_self.encode_text(
+            text_ids, mode="global", visual_emb=ref_patch)
+        ref_feats = ref_feats.astype(jnp.float32)
+        tar_feats = tar_feats.astype(jnp.float32)
+        text_feats = text_feats.astype(jnp.float32)
+        text_seq = text_seq.astype(jnp.float32)
+        tar_feats = tar_feats / jnp.linalg.norm(tar_feats, axis=-1, keepdims=True)
+        return mdl_self.train_features(
+            ref_feats, ref_patch, text_feats, text_seq,
+            tar_feats, tar_patch, deterministic=deterministic,
+        )
+
+    inner = build_train_step(model, optimizer, forward=forward, **kwargs)
+
+    def step(state, batch):
+        packed = {
+            "ref_image": batch["ref_feats"],
+            "tar_image": batch["tar_feats"],
+            "text_ids": batch["text_ids"],
+            "ref_patch": batch["ref_patch"],
+            "tar_patch": batch["tar_patch"],
+        }
+        return inner(state, packed)
+
+    return step
+
+
 def build_feature_train_step(
     model,
     optimizer: optax.GradientTransformation,

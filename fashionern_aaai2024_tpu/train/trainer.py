@@ -72,6 +72,7 @@ class TrainConfig:
     profile_dir: str | None = None          # jax.profiler trace of steps 2-4, epoch 0
     resume_path: str | None = None          # Orbax train-state dir to resume from
     precision: str = "fp32"                 # "fp32" | "bf16" (frozen CLIP towers only)
+    cache_features: bool = False            # pre-encode unique images once; text stays online
 
 
 @dataclasses.dataclass
@@ -272,11 +273,21 @@ class Trainer:
         elif cfg.precision != "fp32":
             raise ValueError(f"precision must be 'fp32' or 'bf16', got {cfg.precision!r}")
         self._image_dtype = np.float32 if cfg.precision == "fp32" else jnp.bfloat16
-        self.step_fn = build_train_step(
-            self.model, self.optimizer,
-            negatives=cfg.negatives,
-            local_groups=self.mesh.shape[meshlib.DATA_AXIS],
-        )
+        if cfg.cache_features:
+            from fashionern_aaai2024_tpu.train.step import build_cached_image_train_step
+
+            self.step_fn = build_cached_image_train_step(
+                self.model, self.optimizer,
+                negatives=cfg.negatives,
+                local_groups=self.mesh.shape[meshlib.DATA_AXIS],
+            )
+        else:
+            self.step_fn = build_train_step(
+                self.model, self.optimizer,
+                negatives=cfg.negatives,
+                local_groups=self.mesh.shape[meshlib.DATA_AXIS],
+            )
+        self._feature_cache: dict[str, np.ndarray] | None = None
         self.validator = (
             validator if validator is not None
             else (self.plugin.make_validator(cfg) if self.plugin.make_validator else None)
@@ -319,15 +330,61 @@ class Trainer:
         self.state = self.state.replace(clip_params=cv["params"], batch_stats=bs)
 
     # ------------------------------------------------------------------
+    def build_feature_cache(self) -> None:
+        """One pass over the train set encoding every unique image with
+        the frozen CLIP tower; keyed by name. The step's two image-tower
+        passes (its FLOPs bulk) then become table lookups — valid because
+        CLIP never updates (`models/clip_model.py:11-15`)."""
+        encode = jax.jit(lambda variables, images: self.model.apply(
+            variables, images, method=self.model.encode_image)[0])
+        self._encode_fn = encode
+        variables = self.state.variables()
+        cache: dict[str, np.ndarray] = {}
+        scan = Loader(self.train_dataset, self.loader.batch_size,
+                      num_workers=self.cfg.num_workers,
+                      worker_type=self.cfg.worker_type)
+        t0 = time.time()
+        for batch in scan:
+            for img_key, name_key in (("ref_image", "ref_name"),
+                                      ("tar_image", "tar_name")):
+                names = batch[name_key]
+                fresh = [i for i, n in enumerate(names) if n not in cache]
+                if not fresh:
+                    continue
+                imgs = np.asarray(batch[img_key], self._image_dtype)[fresh]
+                feats = np.asarray(encode(variables, imgs), np.float32)
+                for j, i in enumerate(fresh):
+                    cache[names[i]] = feats[j]
+        self._feature_cache = cache
+        self.logger.log(step=self.global_step, cached_images=len(cache),
+                        cache_seconds=round(time.time() - t0, 2))
+
     def _device_batch(self, batch: dict) -> dict:
         caps = self.plugin.caption_fn(batch, self.caption_rng)
         arrays = {
-            "ref_image": np.asarray(batch["ref_image"], self._image_dtype),
-            "tar_image": np.asarray(batch["tar_image"], self._image_dtype),
             "text_ids": self.tokenizer(caps, self.clip_cfg.text.context_length),
             "ref_patch": np.asarray(batch["ref_patch"], np.float32),
             "tar_patch": np.asarray(batch["tar_patch"], np.float32),
         }
+        if self._feature_cache is not None:
+            cache = self._feature_cache
+            # lazy fill for names first seen after the cache pass (e.g.
+            # fashion200k per-epoch pair resampling)
+            for img_key, name_key in (("ref_image", "ref_name"),
+                                      ("tar_image", "tar_name")):
+                missing = [i for i, n in enumerate(batch[name_key])
+                           if n not in cache]
+                if missing:
+                    imgs = np.asarray(batch[img_key], self._image_dtype)[missing]
+                    feats = np.asarray(self._encode_fn(
+                        self.state.variables(), imgs), np.float32)
+                    for j, i in enumerate(missing):
+                        cache[batch[name_key][i]] = feats[j]
+            arrays["ref_feats"] = np.stack([cache[n] for n in batch["ref_name"]])
+            arrays["tar_feats"] = np.stack([cache[n] for n in batch["tar_name"]])
+        else:
+            arrays["ref_image"] = np.asarray(batch["ref_image"], self._image_dtype)
+            arrays["tar_image"] = np.asarray(batch["tar_image"], self._image_dtype)
         return meshlib.shard_batch(self.mesh, arrays)
 
     def train_one_epoch(self, epoch: int) -> float:
@@ -414,6 +471,8 @@ class Trainer:
     def train(self) -> CIRTrainState:
         cfg = self.cfg
         self.maybe_resume()
+        if cfg.cache_features and self._feature_cache is None:
+            self.build_feature_cache()
         for epoch in range(cfg.num_epochs):
             loss = self.train_one_epoch(epoch)
             self.logger.log(step=self.global_step, epoch=epoch, epoch_loss=loss)

