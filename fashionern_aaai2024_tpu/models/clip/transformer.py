@@ -13,7 +13,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fashionern_aaai2024_tpu.ops.attention import multi_head_attention
+from fashionern_aaai2024_tpu.ops.attention import (
+    multi_head_attention, packed_qkv_self_attention,
+)
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
 
 
@@ -58,15 +60,22 @@ class ResidualAttentionBlock(nn.Module):
         )
         in_proj_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * w,))
         qkv = jnp.einsum("bsd,od->bso", y, in_proj_weight) + in_proj_bias
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        if head_dim == 64 and w % 128 == 0:
+            # heads split/merged inside the kernel — the [B,H,S,Dh]
+            # operand layout is never materialized (ops/attention.py
+            # dispatch notes; falls back to the identical XLA formula
+            # off-TPU)
+            o = packed_qkv_self_attention(qkv, h, causal=self.causal)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def split_heads(t):
-            return t.reshape(b, s, h, head_dim).transpose(0, 2, 1, 3)
+            def split_heads(t):
+                return t.reshape(b, s, h, head_dim).transpose(0, 2, 1, 3)
 
-        o = multi_head_attention(
-            split_heads(q), split_heads(k), split_heads(v), causal=self.causal
-        )
-        o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
+            o = multi_head_attention(
+                split_heads(q), split_heads(k), split_heads(v), causal=self.causal
+            )
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
         x = x + nn.Dense(w, name="out_proj")(o)
 
         y = LayerNorm(w, name="ln_2")(x)

@@ -10,13 +10,22 @@ parentheses):
     (`models/fusion_model.py:18-20,44-47`).
   * RN50x4 attention-pool head.
 
-Sequences are short (13–257 tokens), so the TPU-optimal shape is a
-single-block kernel per (batch, head): scores, softmax and the value
-matmul all stay in VMEM — no HBM round-trip for the S×S matrix. Inputs
-are lane-padded; key-side padding is masked via the additive bias.
+Sequences are short (13–257 tokens), so the whole S×S score matrix of a
+head fits in VMEM and never round-trips to HBM. The kernel processes G
+(batch, head) pairs per grid program — round-1's one-pair-per-program
+version was launch-overhead-bound at grid 1536 (3.4 ms/layer); grouping
+amortizes that and beats XLA's fused attention at ViT-B-16 shapes
+(measured v5e, B=128 H=12 S=197 Dh=64 bf16: XLA 1.93 ms/layer, grouped
+G=32 1.41 ms/layer; benchmarks/attn_experiment.py. A packed-lanes
+variant that reads the QKV projection output directly measured 1.65
+ms — the unaligned 64-lane head slices cost more than the HBM padding
+they save).
 
-Training-time attention-probability dropout uses the XLA path (dropout
-between two matmuls isn't worth a custom backward at these sizes).
+The kernel carries a custom VJP (XLA-ref backward, recomputed scores) so
+gradient-bearing sites (ERN fusion attention with dropout off) can use
+it; training-time attention-probability dropout uses the XLA path
+(dropout between two matmuls isn't worth a custom backward at these
+sizes).
 """
 
 from __future__ import annotations
@@ -28,49 +37,190 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fashionern_aaai2024_tpu.ops.common import pad_axis_to, round_up, use_pallas
+from fashionern_aaai2024_tpu.ops.common import round_up, use_pallas
 
 _NEG_INF = -1e30
 
+# VMEM budget for one grid program's blocks (q/k/v/out + fp32 score and
+# probability temporaries per unrolled pair); 16 MB physical, leave room
+# for pipelining the next block in.
+_VMEM_BUDGET = 12 * 1024 * 1024
+_MAX_GROUP = 32
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float, g: int):
     # operands stay in their storage dtype (bf16 on the MXU fast path);
-    # accumulation and softmax run fp32
-    q = q_ref[0]                      # [Sq, D]
-    k = k_ref[0]                      # [Sk, D]
-    v = v_ref[0]                      # [Sk, D]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale + bias_ref[:]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0] = o.astype(out_ref.dtype)
+    # accumulation and softmax run fp32. Static unroll over the G
+    # (batch, head) pairs: dots issue back-to-back on the MXU with no
+    # per-pair program launch.
+    for i in range(g):
+        q = q_ref[0, i]                   # [Sqp, Dp]
+        k = k_ref[0, i]                   # [Skp, Dp]
+        v = v_ref[0, i]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + bias_ref[:]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, i] = o.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _mha_pallas(q, k, v, bias, scale: float, interpret: bool = False):
-    """q:[BH,Sq,D] k,v:[BH,Sk,D] bias:[Sq,Sk] (already padded/masked)."""
-    bh, sq, d = q.shape
+@functools.partial(jax.jit, static_argnames=("scale", "g", "interpret"))
+def _mha_pallas(q, k, v, bias, scale: float, g: int, interpret: bool = False):
+    """q:[BH,Sq,Dh] k,v:[BH,Sk,Dh] bias:[Sq,Sk] — logical (unpadded)
+    shapes; Mosaic masks the ragged tile edges."""
+    bh, sq, dh = q.shape
     sk = k.shape[1]
+    qg = q.reshape(bh // g, g, sq, dh)
+    kg = k.reshape(bh // g, g, sk, dh)
+    vg = v.reshape(bh // g, g, sk, dh)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-        grid=(bh,),
+        functools.partial(_attn_kernel, scale=scale, g=g),
+        out_shape=jax.ShapeDtypeStruct((bh // g, g, sq, dh), q.dtype),
+        grid=(bh // g,),
         in_specs=[
-            pl.BlockSpec((1, sq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, sq, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, sk, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, sk, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((sq, sk), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, sq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, g, sq, dh), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(q, k, v, bias)
-    return out
+    )(qg, kg, vg, bias)
+    return out.reshape(bh, sq, dh)
+
+
+def _pick_group(bh: int, sqp: int, skp: int, dp: int, esize: int) -> int:
+    """Largest divisor of bh (≤ _MAX_GROUP) whose blocks fit the VMEM
+    budget; per-pair cost: q/out [sqp,dp] + k/v [skp,dp] in element
+    dtype, plus fp32 score and probability temporaries [sqp,skp]."""
+    per_pair = (2 * sqp * dp + 2 * skp * dp) * esize + 2 * sqp * skp * 4
+    cap = max(1, min(_MAX_GROUP, _VMEM_BUDGET // max(per_pair, 1)))
+    for g in range(cap, 0, -1):
+        if bh % g == 0:
+            return g
+    return 1
+
+
+def _packed_kernel(qkv_ref, bias_ref, out_ref, *, scale: float, gb: int,
+                   heads: int, w: int):
+    dh = w // heads
+    for i in range(gb):
+        for h in range(heads):
+            q = qkv_ref[i, :, dh * h: dh * (h + 1)]          # [S, dh]
+            k = qkv_ref[i, :, w + dh * h: w + dh * (h + 1)]
+            v = qkv_ref[i, :, 2 * w + dh * h: 2 * w + dh * (h + 1)]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bias_ref[:]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[i, :, dh * h: dh * (h + 1)] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "gb", "heads", "interpret"))
+def _packed_pallas(qkv, bias, scale: float, gb: int, heads: int,
+                   interpret: bool = False):
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, gb=gb, heads=heads, w=w),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, s, w3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, s, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qkv, bias)
+
+
+def _packed_ref(qkv, bias, scale, heads):
+    """Pure-XLA equivalent of the packed kernel (dispatch fallback and
+    custom-VJP backward)."""
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    dh = w // heads
+
+    def split(x):
+        return x.reshape(b, s, heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = split(qkv[..., :w]), split(qkv[..., w:2 * w]), split(qkv[..., 2 * w:])
+    o = _mha_ref(q, k, v, bias[None, None], scale)
+    return o.transpose(0, 2, 1, 3).reshape(b, s, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _packed_diff(qkv, bias, scale, heads, gb, interpret):
+    return _packed_pallas(qkv, bias, scale, gb, heads, interpret)
+
+
+def _packed_diff_fwd(qkv, bias, scale, heads, gb, interpret):
+    return _packed_diff(qkv, bias, scale, heads, gb, interpret), (qkv, bias)
+
+
+def _packed_diff_bwd(scale, heads, gb, interpret, res, grad):
+    qkv, bias = res
+    _, vjp = jax.vjp(lambda a, b_: _packed_ref(a, b_, scale, heads), qkv, bias)
+    return vjp(grad)
+
+
+_packed_diff.defvjp(_packed_diff_fwd, _packed_diff_bwd)
+
+
+def packed_qkv_self_attention(
+    qkv: jnp.ndarray,
+    heads: int,
+    *,
+    causal: bool = False,
+    scale: float | None = None,
+    force_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Self-attention straight from the QKV projection output.
+
+    qkv: [B, S, 3W] (q | k | v each W = heads·dh wide) → [B, S, W].
+    The head split/merge happens INSIDE the kernel via lane slices, so
+    the [B,H,S,Dh] operand layout (whose materialization made the
+    grouped kernel a net loss in-model — 48.8 ms trunk vs 45.9 XLA) is
+    never built. Measured v5e ViT-B-16 (B=128, S=197): 1.65 ms/layer vs
+    XLA's ~2.0 in-model. Differentiable (XLA-ref backward)."""
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    dh = w // heads
+    if scale is None:
+        scale = dh ** -0.5
+    bias = (
+        jnp.where(jnp.tril(jnp.ones((s, s), bool)), 0.0, _NEG_INF).astype(jnp.float32)
+        if causal else jnp.zeros((s, s), jnp.float32)
+    )
+    if force_pallas is None:
+        # dh=64 covers both CLIP towers (768/12, 512/8); larger batches
+        # amortize; tiny workloads stay on XLA
+        pick = use_pallas() and dh == 64 and w % 128 == 0 and b * heads >= 64
+    else:
+        pick = force_pallas
+    if not pick:
+        return _packed_ref(qkv, bias, scale, heads)
+    return _packed_diff(qkv, bias, scale, heads, 1, interpret)
 
 
 def _mha_ref(q, k, v, bias, scale, dropout_rate=0.0, dropout_rng=None):
@@ -89,6 +239,43 @@ def _mha_ref(q, k, v, bias, scale, dropout_rate=0.0, dropout_rng=None):
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, p.shape)
         p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _mha_pallas_diff(q, k, v, shared_bias, scale, g, interpret):
+    """Differentiable wrapper: Pallas forward, XLA-ref backward.
+    q,k,v: [B,H,S,Dh] UNPADDED — no host-visible pad/slice copies
+    (explicit padding materialized 2× q/k/v and cost more than the
+    kernel saved: trunk 55 ms padded vs 46 XLA, measured); Mosaic masks
+    the ragged tile edges itself. shared_bias: [Sq,Sk] fp32 (zeros if no
+    mask). The backward recomputes scores — attention here is a few
+    percent of step FLOPs, and it keeps the kernel residual-free."""
+    b, h, sq, dh = q.shape
+    sk = k.shape[2]
+    out = _mha_pallas(
+        q.reshape(b * h, sq, dh),
+        k.reshape(b * h, sk, dh),
+        v.reshape(b * h, sk, dh),
+        shared_bias, scale, g=g, interpret=interpret,
+    )
+    return out.reshape(b, h, sq, dh)
+
+
+def _mha_pallas_diff_fwd(q, k, v, shared_bias, scale, g, interpret):
+    return _mha_pallas_diff(q, k, v, shared_bias, scale, g, interpret), \
+        (q, k, v, shared_bias)
+
+
+def _mha_pallas_diff_bwd(scale, g, interpret, res, grad):
+    q, k, v, shared_bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _mha_ref(q_, k_, v_, b_[None, None], scale),
+        q, k, v, shared_bias,
+    )
+    return vjp(grad)
+
+
+_mha_pallas_diff.defvjp(_mha_pallas_diff_fwd, _mha_pallas_diff_bwd)
 
 
 def multi_head_attention(
@@ -124,13 +311,21 @@ def multi_head_attention(
         b32 = bias.astype(jnp.float32)
         shared_bias = b32 if shared_bias is None else shared_bias + b32
 
+    esize = 2 if q.dtype == jnp.bfloat16 else 4
+    dp = round_up(dh, 128)
+    g = _pick_group(b * h, round_up(sq, 16), round_up(sk, 16), dp, esize)
+
     train_dropout = dropout_rate > 0.0 and dropout_rng is not None
     if force_pallas is None:
-        # Shape-aware dispatch (measured on v5e): the single-block VMEM
-        # kernel wins when the S×S matrix round-trip to HBM is the
-        # bottleneck (long sequences) and the head dim fills the lanes;
-        # at CLIP shapes (S≤257, Dh=64) XLA's fused attention is faster
-        # — the kernel's Dh→128 lane padding doubles the matmul work.
+        # Shape-aware dispatch, measured on v5e at the model's real call
+        # form (operands produced by split/transpose): XLA wins at CLIP
+        # shapes because this call forces materializing the lane-padded
+        # [B,H,S,Dh] operands the fused XLA attention never builds
+        # (trunk 48.8 ms kernel vs 45.9 XLA, r2 ledger). The kernel wins
+        # when the S×S HBM round-trip dominates (long sequences) or Dh
+        # already fills the lanes. Self-attention callers with dh=64
+        # should use `packed_qkv_self_attention`, which sidesteps the
+        # operand materialization and beats XLA at CLIP shapes.
         pick = use_pallas() and (sk >= 512 or dh % 128 == 0)
     else:
         pick = force_pallas
@@ -139,15 +334,4 @@ def multi_head_attention(
         return _mha_ref(q, k, v, sb, scale, dropout_rate, dropout_rng)
     if shared_bias is None:
         shared_bias = jnp.zeros((sq, sk), jnp.float32)
-
-    # Pad to TPU tiles: Dh and Sk to lane width, Sq to sublane width.
-    dp = round_up(dh, 128)
-    skp = round_up(sk, 128)
-    sqp = round_up(sq, 8)
-    qp = pad_axis_to(pad_axis_to(q, 3, dp), 2, sqp).reshape(b * h, sqp, dp)
-    kp = pad_axis_to(pad_axis_to(k, 3, dp), 2, skp).reshape(b * h, skp, dp)
-    vp = pad_axis_to(pad_axis_to(v, 3, dp), 2, skp).reshape(b * h, skp, dp)
-    bias_p = jnp.full((sqp, skp), _NEG_INF, jnp.float32)
-    bias_p = bias_p.at[:sq, :sk].set(shared_bias)
-    out = _mha_pallas(qp, kp, vp, bias_p, scale, interpret=interpret)
-    return out.reshape(b, h, sqp, dp)[:, :, :sq, :dh]
+    return _mha_pallas_diff(q, k, v, shared_bias, scale, max(g, 1), interpret)
