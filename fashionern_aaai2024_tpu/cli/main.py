@@ -373,8 +373,11 @@ def run_extract_patches(args) -> int:
 
     clip_cfg = get_clip_config(args.clip_model_name)
     model, variables = load_model_variables(clip_cfg, args.clip_path, None, 13)
-    encode = jax.jit(lambda imgs: model.apply(variables, imgs,
-                                              method=model.encode_image)[0])
+    # variables as a jit ARGUMENT (closure-captured weights embed as HLO
+    # constants and blow the remote-compile request limit at full size)
+    jit_encode = jax.jit(lambda v, imgs: model.apply(v, imgs,
+                                                     method=model.encode_image)[0])
+    encode = lambda imgs: jit_encode(variables, imgs)
     if args.dataset == "fashion200k":
         items = enumerate_fashion200k(args.data_root)
     else:

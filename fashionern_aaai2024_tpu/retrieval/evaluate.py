@@ -71,23 +71,40 @@ class InferenceAPI:
         self.context_length = context_length
         self._tokenizer = tokenizer if tokenizer is not None else tokenize
 
-        self._encode_image = jax.jit(
-            lambda imgs: model.apply(variables, imgs, method=model.encode_image)
+        # NB: variables are passed as jit ARGUMENTS, never closure
+        # captures — closed-over weights get baked into the HLO as
+        # constants, which at full model size blew the remote-compile
+        # request limit (HTTP 413) when the TPU dress rehearsal first
+        # drove this path
+        self._encode_image_v = jax.jit(
+            lambda v, imgs: model.apply(v, imgs, method=model.encode_image)
         )
-        self._encode_text = jax.jit(
-            lambda ids: model.apply(variables, ids, method=model.encode_text)
+        self._encode_text_v = jax.jit(
+            lambda v, ids: model.apply(v, ids, method=model.encode_text)
         )
-        self._query = jax.jit(
-            lambda rf, rp, tg, ts: model.apply(
-                variables, rf, rp, tg, ts, method=model.query
+        self._query_v = jax.jit(
+            lambda v, rf, rp, tg, ts: model.apply(
+                v, rf, rp, tg, ts, method=model.query
             )
         )
-        def _index_fn(tf, tl):
+        def _index_fn(v, tf, tl):
             # eps matches torch F.normalize (1e-12); also keeps zero pad rows finite
             tf = tf / (jax.numpy.linalg.norm(tf, axis=-1, keepdims=True) + 1e-12)
-            return model.apply(variables, tf, tl, method=model.index)
+            return model.apply(v, tf, tl, method=model.index)
 
-        self._index = jax.jit(_index_fn)
+        self._index_v = jax.jit(_index_fn)
+
+    def _encode_image(self, imgs):
+        return self._encode_image_v(self.variables, imgs)
+
+    def _encode_text(self, ids):
+        return self._encode_text_v(self.variables, ids)
+
+    def _query(self, rf, rp, tg, ts):
+        return self._query_v(self.variables, rf, rp, tg, ts)
+
+    def _index(self, tf, tl):
+        return self._index_v(self.variables, tf, tl)
 
     def _place(self, arr: np.ndarray):
         """Pad to the fixed batch and (if a mesh is set) shard the batch
