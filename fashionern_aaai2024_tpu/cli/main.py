@@ -388,7 +388,27 @@ def run_extract_patches(args) -> int:
     return ex.run(items, args.out_dir, write_pack=not args.no_pack)
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: repeat CLI invocations (the
+    train → eval → eval workflow) skip recompiles. Opt out with
+    FASHIONERN_JAX_CACHE=0; relocate by setting it to a directory."""
+    import os
+
+    d = os.environ.get("FASHIONERN_JAX_CACHE",
+                       os.path.expanduser("~/.cache/fashionern/jax_cache"))
+    if d == "0":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
+
 def main(argv=None) -> int:
+    _enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.command == "train":
         run_train(args)

@@ -152,7 +152,12 @@ def make_cirr(root: str, n_images: int = 16, n_triplets: int = 8,
         trips = []
         for t in range(n_triplets):
             a, b = rng.sample(names, 2)
-            members = rng.sample(names, 6)
+            # real-CIRR invariant: the 6-member img_set contains the
+            # reference and (non-test1) the target exactly once — the
+            # evaluator asserts this (reference run/valid/validate_cirr.py:60-61)
+            others = rng.sample([n for n in names if n not in (a, b)], 4)
+            members = [a, b] + others
+            rng.shuffle(members)
             trip = {"reference": a, "caption": _caption(rng),
                     "img_set": {"members": members}}
             caps.append(trip["caption"])
