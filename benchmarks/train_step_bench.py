@@ -1,5 +1,8 @@
 """Train-step throughput on the real chip (VERDICT r1 #8).
 
+donate=False throughout: the benchmark reuses the init variables tree
+across precision configs, and donation would delete those buffers.
+
 Measures samples/sec for the full ViT-B-16 training step (two frozen
 image towers + text tower + ERN fusion + grouped BBC loss + Adam) and
 for the cached-feature step (`--cache-features`: image towers replaced
@@ -82,7 +85,7 @@ def main():
         if precision == "bf16":
             state = cast_frozen_clip_bf16(state)
         step = build_train_step(model, optimizer, negatives="local",
-                                local_groups=1)
+                                local_groups=1, donate=False)
         batch = image_batch(jnp.bfloat16 if precision == "bf16" else jnp.float32)
         t, state = timeit(step, state, batch)
         print(f"full train step {precision} B={B}: {B/t:.0f} samples/sec "
@@ -94,7 +97,8 @@ def main():
         if precision == "bf16":
             state = cast_frozen_clip_bf16(state)
         step = build_cached_image_train_step(model, optimizer,
-                                             negatives="local", local_groups=1)
+                                             negatives="local", local_groups=1,
+                                             donate=False)
         batch = {
             "ref_feats": jnp.asarray(
                 g.standard_normal((B, cfg.feature_dim)), jnp.float32),
