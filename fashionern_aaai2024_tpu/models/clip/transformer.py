@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from fashionern_aaai2024_tpu.ops.attention import (
-    multi_head_attention, packed_qkv_self_attention,
+    fused_qkv_self_attention, multi_head_attention,
 )
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
 
@@ -59,14 +59,17 @@ class ResidualAttentionBlock(nn.Module):
             "in_proj_weight", nn.initializers.xavier_uniform(), (3 * w, w)
         )
         in_proj_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * w,))
-        qkv = jnp.einsum("bsd,od->bso", y, in_proj_weight) + in_proj_bias
         if head_dim == 64 and w % 128 == 0:
-            # heads split/merged inside the kernel — the [B,H,S,Dh]
-            # operand layout is never materialized (ops/attention.py
-            # dispatch notes; falls back to the identical XLA formula
-            # off-TPU)
-            o = packed_qkv_self_attention(qkv, h, causal=self.causal)
+            # projection + attention in one kernel: the qkv tensor never
+            # exists in HBM and the heads split/merge in VMEM — the
+            # [B,H,S,Dh] operand layout is never materialized
+            # (ops/attention.py dispatch notes; tiered fallback to the
+            # packed kernel / identical XLA formula off-TPU)
+            o = fused_qkv_self_attention(
+                y, in_proj_weight.T, in_proj_bias, h, causal=self.causal
+            )
         else:
+            qkv = jnp.einsum("bsd,od->bso", y, in_proj_weight) + in_proj_bias
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
             def split_heads(t):

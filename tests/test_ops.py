@@ -307,3 +307,56 @@ class TestPackedQKVAttention:
         gr = jax.grad(lr)(qkv)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    atol=1e-5, rtol=1e-5)
+
+
+class TestFusedQKVAttention:
+    """QKV-projection-fused kernel: interpret-mode exactness vs the XLA
+    formula + gradient parity for (x, W_qkv, b_qkv)."""
+
+    def _inputs(self, b=3, s=20, heads=2, dh=64, seed=11):
+        g = np.random.default_rng(seed)
+        w = heads * dh
+        return (jnp.asarray(g.standard_normal((b, s, w)), jnp.float32),
+                jnp.asarray(g.standard_normal((w, 3 * w)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((3 * w,)) * 0.05, jnp.float32))
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_ref(self, causal):
+        from fashionern_aaai2024_tpu.ops.attention import (
+            _qkv_fused_ref, fused_qkv_self_attention,
+        )
+
+        x, w, b = self._inputs()
+        got = fused_qkv_self_attention(x, w, b, 2, causal=causal,
+                                       force_pallas=True, interpret=True)
+        s = x.shape[1]
+        bias = (jnp.where(jnp.tril(jnp.ones((s, s), bool)), 0.0, -1e30)
+                .astype(jnp.float32) if causal
+                else jnp.zeros((s, s), jnp.float32))
+        want = _qkv_fused_ref(x, w, b, bias, 64 ** -0.5, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_grad_matches(self):
+        from fashionern_aaai2024_tpu.ops.attention import (
+            _qkv_fused_ref, fused_qkv_self_attention,
+        )
+
+        x, w, b = self._inputs(b=2, s=12)
+
+        def lp(x, w, b):
+            o = fused_qkv_self_attention(x, w, b, 2, force_pallas=True,
+                                         interpret=True)
+            return jnp.sum(jnp.sin(o))
+
+        def lr(x, w, b):
+            s = x.shape[1]
+            o = _qkv_fused_ref(x, w, b, jnp.zeros((s, s), jnp.float32),
+                               64 ** -0.5, 2)
+            return jnp.sum(jnp.sin(o))
+
+        gp = jax.grad(lp, argnums=(0, 1, 2))(x, w, b)
+        gr = jax.grad(lr, argnums=(0, 1, 2))(x, w, b)
+        for a, c in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=1e-5, rtol=1e-5)
