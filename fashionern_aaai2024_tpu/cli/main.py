@@ -92,6 +92,19 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--quantize-gallery", action="store_true",
                    help="int8 gallery for the top-k search (4x less HBM)")
 
+    sv = sub.add_parser("serve",
+                        help="persistent retrieval service: embed+refine the "
+                             "gallery once, answer composed queries over HTTP")
+    _add_common(sv)
+    sv.add_argument("--clip-path", default=None)
+    sv.add_argument("--fusion-model-path", default=None)
+    sv.add_argument("--batch-size", default=32, type=int)
+    sv.add_argument("--split", default="val")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", default=8080, type=int)
+    sv.add_argument("--quantize-gallery", action="store_true")
+    sv.add_argument("--data-parallel", action="store_true")
+
     sub.add_parser("info", help="print registered backbones/datasets/losses")
 
     x = sub.add_parser("extract-patches",
@@ -298,6 +311,69 @@ def run_eval(args) -> dict:
     )
 
 
+def make_classic_loader(args):
+    """The gallery-side (classic-mode) dataset + loader for a dataset
+    choice — shared by `eval` internals and `serve`."""
+    from fashionern_aaai2024_tpu.data.loader import Loader
+    from fashionern_aaai2024_tpu.models.clip.config import get_clip_config
+
+    dim = get_clip_config(args.clip_model_name).input_dim
+    pad = _pad_mode(args.transform)
+    mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio)
+    if args.dataset in ("fashioniq", "fashioniq-val"):
+        from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
+
+        ds = FashionIQDataset(args.data_root, args.split,
+                              ["dress", "shirt", "toptee"], mode="classic",
+                              val_protocol=args.dataset == "fashioniq-val", **mk)
+    elif args.dataset == "cirr":
+        from fashionern_aaai2024_tpu.data.cirr import CIRRDataset
+
+        ds = CIRRDataset(args.data_root, args.split, mode="classic", **mk)
+    elif args.dataset == "shoes":
+        from fashionern_aaai2024_tpu.data.shoes import ShoesDataset
+
+        ds = ShoesDataset(args.data_root, args.split, mode="classic", **mk)
+    else:
+        from fashionern_aaai2024_tpu.data.fashion200k import Fashion200kTestDataset
+
+        ds = Fashion200kTestDataset(args.data_root, split=args.split, **mk)
+    return Loader(ds, args.batch_size, num_workers=args.num_workers,
+                  worker_type=getattr(args, "worker_type", "thread"))
+
+
+def run_serve(args) -> None:
+    from fashionern_aaai2024_tpu.models.clip.config import get_clip_config
+    from fashionern_aaai2024_tpu.retrieval import evaluate as E
+    from fashionern_aaai2024_tpu.retrieval.server import RetrievalService, serve
+
+    if args.bpe_path:
+        import os
+
+        os.environ["FASHIONERN_BPE_PATH"] = args.bpe_path
+    clip_cfg = get_clip_config(args.clip_model_name)
+    model, variables = load_model_variables(
+        clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num)
+    mesh = None
+    if args.data_parallel:
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+    api = E.InferenceAPI(model, variables, batch_size=args.batch_size,
+                         context_length=clip_cfg.text.context_length,
+                         mesh=mesh, quantize_gallery=args.quantize_gallery)
+    print(f"embedding gallery ({args.dataset}/{args.split}) ...", flush=True)
+    service = RetrievalService(api, make_classic_loader(args))
+    httpd = serve(service, host=args.host, port=args.port)
+    print(f"serving {service.gallery_size} gallery items on "
+          f"http://{args.host}:{httpd.server_address[1]} "
+          f"(startup {service.startup_seconds:.1f}s)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
 def run_train(args) -> None:
     from fashionern_aaai2024_tpu.train.trainer import TrainConfig, Trainer
 
@@ -420,6 +496,9 @@ def main(argv=None) -> int:
         else:
             for k, v in metrics.items():
                 print(f"{k}: {v}")
+        return 0
+    if args.command == "serve":
+        run_serve(args)
         return 0
     if args.command == "extract-patches":
         n = run_extract_patches(args)

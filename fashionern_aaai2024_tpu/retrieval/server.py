@@ -1,0 +1,167 @@
+"""`fashionern serve` — a persistent composed-image-retrieval service.
+
+The reference has no serving story (its eval scripts re-embed the
+gallery per run, `run/test/test_fiq.py:125-201`); production use of this
+model family is exactly a service: embed + refine the gallery ONCE at
+startup, keep it chip-resident, then answer composed queries
+(reference image + modifier text → top-k gallery items) at the measured
+~11.7k queries/sec/chip.
+
+Stdlib-only HTTP (ThreadingHTTPServer):
+  POST /query   {"ref_name": str, "caption": str, "k": int=10}
+                → {"results": [{"name", "score"}...], "latency_ms"}
+  POST /query   also accepts {"captions": [...], "ref_names": [...]} for
+                client-side batches.
+  GET  /healthz → {"status": "ok", "gallery_size": N}
+  GET  /stats   → request count + latency percentiles
+
+Device work is serialized with a lock (one jitted program at a time);
+requests batch through InferenceAPI's fixed padded batch.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Sequence
+
+import numpy as np
+
+from fashionern_aaai2024_tpu.retrieval import evaluate as E
+from fashionern_aaai2024_tpu.retrieval.engine import RetrievalIndex, embed_gallery
+
+
+class RetrievalService:
+    """Gallery-resident composed retrieval around an InferenceAPI."""
+
+    def __init__(self, api: E.InferenceAPI, classic_loader,
+                 caption_join=None):
+        self.api = api
+        t0 = time.time()
+        gallery = embed_gallery(api.gallery_encode_fn(), classic_loader,
+                                api.batch_size)
+        refined = api.refine_gallery(gallery.features, gallery.local_features)
+        self.gallery = gallery
+        self.index = RetrievalIndex(gallery.names, refined,
+                                    quantize=api.quantize_gallery)
+        self.rows = E.last_wins_rows(gallery.names)
+        self.startup_seconds = time.time() - t0
+        self.caption_join = caption_join or (lambda c: c)
+        self._lock = threading.Lock()
+        self.request_count = 0
+        self._latencies: list[float] = []
+
+    @property
+    def gallery_size(self) -> int:
+        return len(self.gallery.names)
+
+    def query(self, ref_names: Sequence[str], captions: Sequence[str],
+              k: int = 10):
+        """Composed queries → per-query top-k [(name, score)...]."""
+        if len(ref_names) != len(captions):
+            raise ValueError("ref_names and captions length mismatch")
+        unknown = [r for r in ref_names if r not in self.rows]
+        if unknown:
+            raise KeyError(f"unknown reference image(s): {unknown[:5]}")
+        t0 = time.time()
+        caps = [self.caption_join(c) for c in captions]
+        rows = np.asarray([self.rows[r] for r in ref_names])
+        with self._lock:
+            ids = self.api.tokenize(caps)
+            tg, tseq = self.api.encode_text(ids)
+            ref_feats = self.gallery.features[rows]
+            ref_patch = self.gallery.local_features[rows]
+            preds = self.api.query(ref_feats, ref_patch, tg, tseq)
+            scores, idx = self.index.search(preds, k=min(k, self.gallery_size))
+        latency = time.time() - t0
+        self.request_count += 1
+        self._latencies.append(latency)
+        if len(self._latencies) > 10_000:
+            del self._latencies[:5_000]
+        names = np.asarray(self.gallery.names, dtype=object)
+        out = []
+        for q in range(len(ref_names)):
+            out.append([
+                {"name": str(names[idx[q, j]]), "score": float(scores[q, j])}
+                for j in range(idx.shape[1])
+            ])
+        return out, latency
+
+    def stats(self) -> dict:
+        lat = sorted(self._latencies)
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2) \
+                if lat else None
+
+        return {
+            "requests": self.request_count,
+            "gallery_size": self.gallery_size,
+            "startup_seconds": round(self.startup_seconds, 2),
+            "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
+                           "p99": pct(0.99)},
+        }
+
+
+def _make_handler(service: RetrievalService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet; stats endpoint covers it
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok",
+                                 "gallery_size": service.gallery_size})
+            elif self.path == "/stats":
+                self._send(200, service.stats())
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/query":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:  # request shape errors → 400
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if "ref_names" in req:
+                    refs = list(req["ref_names"])
+                    caps = list(req["captions"])
+                else:
+                    refs = [req["ref_name"]]
+                    caps = [req["caption"]]
+                k = int(req.get("k", 10))
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:  # unknown gallery refs → 404
+                results, latency = service.query(refs, caps, k=k)
+            except KeyError as e:
+                self._send(404, {"error": str(e)})
+                return
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send(200, {
+                "results": results[0] if "ref_name" in req else results,
+                "latency_ms": round(latency * 1e3, 2),
+            })
+
+    return Handler
+
+
+def serve(service: RetrievalService, host: str = "127.0.0.1",
+          port: int = 8080) -> ThreadingHTTPServer:
+    """Build the HTTP server (caller runs `serve_forever`, or uses the
+    returned server's port for tests)."""
+    return ThreadingHTTPServer((host, port), _make_handler(service))

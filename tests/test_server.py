@@ -1,0 +1,152 @@
+"""`fashionern serve`: gallery-resident retrieval service over HTTP.
+
+Drives the real service end-to-end on the CPU backend: tiny composed
+model, synthetic fixture gallery, ephemeral-port ThreadingHTTPServer,
+JSON round trips — and pins the service's rankings to the offline
+eval-path rankings for the same weights."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from fashionern_aaai2024_tpu.models import composed
+from fashionern_aaai2024_tpu.models.clip import config as clip_config
+from fashionern_aaai2024_tpu.retrieval import evaluate as E
+from fashionern_aaai2024_tpu.retrieval.server import RetrievalService, serve
+from fashionern_aaai2024_tpu.data.loader import Loader
+
+D, CTX = 24, 16
+
+TINY = clip_config.CLIPConfig(
+    name="vit-test",
+    vision=clip_config.VisionConfig(
+        kind="vit", image_size=32, embed_dim=D, width=64, layers=2, heads=4,
+        patch_size=16,
+    ),
+    text=clip_config.TextConfig(
+        vocab_size=100, context_length=CTX, width=32, heads=4, layers=2,
+        embed_dim=D,
+    ),
+)
+
+
+def fake_tokenizer(texts, context_length=CTX):
+    out = np.zeros((len(texts), context_length), np.int32)
+    for i, t in enumerate(texts):
+        h = [hash(w) % 97 + 1 for w in t.split()][:context_length]
+        out[i, : len(h)] = h
+    return out
+
+
+@pytest.fixture(scope="module")
+def service():
+    import jax
+
+    model = composed.ComposedCIRModel(TINY, patch_num=13)
+    rng = jax.random.PRNGKey(0)
+    v = TINY.vision
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+        np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+        np.zeros((2, CTX), np.int32),
+        np.zeros((2, 13, D), np.float32),
+        np.zeros((2, 13, D), np.float32),
+        deterministic=False, method=model.train_forward,
+    )
+    api = E.InferenceAPI(model, variables, batch_size=8, context_length=CTX,
+                         tokenizer=fake_tokenizer)
+    g = np.random.default_rng(1)
+    items = [
+        {"name": f"img{i}", "image": g.random((32, 32, 3), dtype=np.float32),
+         "patch": g.standard_normal((13, D)).astype(np.float32)}
+        for i in range(12)
+    ]
+    return RetrievalService(api, Loader(items, 8, num_workers=0))
+
+
+@pytest.fixture(scope="module")
+def base_url(service):
+    httpd = serve(service, port=0)  # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+class TestRetrievalService:
+    def test_query_matches_offline_eval_ranking(self, service):
+        """The service's top-k equals the offline eval path (same
+        weights, same gallery, same query)."""
+        results, _ = service.query(["img3"], ["make it red"], k=12)
+        ref_rows = np.asarray([service.rows["img3"]])
+        ids = service.api.tokenize(["make it red"])
+        tg, tseq = service.api.encode_text(ids)
+        preds = service.api.query(
+            service.gallery.features[ref_rows],
+            service.gallery.local_features[ref_rows], tg, tseq)
+        _, idx = service.index.search(preds, k=12)
+        want = [service.gallery.names[j] for j in idx[0]]
+        assert [r["name"] for r in results[0]] == want
+
+    def test_batch_and_scores_sorted(self, service):
+        results, _ = service.query(["img0", "img5"],
+                                   ["longer sleeves", "in blue"], k=5)
+        assert len(results) == 2
+        for res in results:
+            scores = [r["score"] for r in res]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_unknown_ref_raises(self, service):
+        with pytest.raises(KeyError):
+            service.query(["nope"], ["x"], k=3)
+
+
+class TestHTTP:
+    def test_healthz(self, base_url):
+        with urllib.request.urlopen(f"{base_url}/healthz") as r:
+            data = json.loads(r.read())
+        assert data == {"status": "ok", "gallery_size": 12}
+
+    def test_query_roundtrip(self, base_url):
+        data = _post(f"{base_url}/query",
+                     {"ref_name": "img2", "caption": "with a belt", "k": 4})
+        assert len(data["results"]) == 4
+        assert {"name", "score"} <= set(data["results"][0])
+        assert data["latency_ms"] >= 0
+
+    def test_batch_roundtrip(self, base_url):
+        data = _post(f"{base_url}/query",
+                     {"ref_names": ["img1", "img2"],
+                      "captions": ["a", "b"], "k": 3})
+        assert len(data["results"]) == 2 and len(data["results"][0]) == 3
+
+    def test_unknown_ref_404(self, base_url):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base_url}/query", {"ref_name": "ghost", "caption": "x"})
+        assert e.value.code == 404
+
+    def test_bad_request_400(self, base_url):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(f"{base_url}/query", {"caption": "missing ref"})
+        assert e.value.code == 400
+
+    def test_stats(self, base_url):
+        _post(f"{base_url}/query", {"ref_name": "img0", "caption": "y"})
+        with urllib.request.urlopen(f"{base_url}/stats") as r:
+            data = json.loads(r.read())
+        assert data["requests"] >= 1
+        assert data["gallery_size"] == 12
+        assert data["latency_ms"]["p50"] is not None
