@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard eval batches over all devices (DP mesh over ICI)")
     e.add_argument("--quantize-gallery", action="store_true",
                    help="int8 gallery for the top-k search (4x less HBM)")
+    e.add_argument("--quantize-towers", action="store_true",
+                   help="int8 transformer-MLP matmuls (2x MXU rate on v5e; "
+                        "dynamic symmetric quant, same checkpoints)")
 
     sv = sub.add_parser("serve",
                         help="persistent retrieval service: embed+refine the "
@@ -103,6 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", default=8080, type=int)
     sv.add_argument("--quantize-gallery", action="store_true")
+    sv.add_argument("--quantize-towers", action="store_true")
     sv.add_argument("--data-parallel", action="store_true")
 
     sub.add_parser("info", help="print registered backbones/datasets/losses")
@@ -229,7 +233,10 @@ def run_eval(args) -> dict:
 
         os.environ["FASHIONERN_BPE_PATH"] = args.bpe_path
 
-    clip_cfg = get_clip_config(args.clip_model_name)
+    clip_cfg = get_clip_config(
+        args.clip_model_name,
+        quantize_mlp=True if getattr(args, "quantize_towers", False) else None,
+    )
     model, variables = load_model_variables(
         clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num
     )
@@ -351,7 +358,10 @@ def run_serve(args) -> None:
         import os
 
         os.environ["FASHIONERN_BPE_PATH"] = args.bpe_path
-    clip_cfg = get_clip_config(args.clip_model_name)
+    clip_cfg = get_clip_config(
+        args.clip_model_name,
+        quantize_mlp=True if args.quantize_towers else None,
+    )
     model, variables = load_model_variables(
         clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num)
     mesh = None

@@ -22,10 +22,12 @@ class CLIP(nn.Module):
 
     def setup(self):
         if self.config.vision.kind == "vit":
-            self.visual = ViTTower(self.config.vision, self.config.activation)
+            self.visual = ViTTower(self.config.vision, self.config.activation,
+                                   self.config.quantize_mlp)
         else:
             self.visual = ModifiedResNet(self.config.vision)
-        self.text = TextTower(self.config.text, self.config.activation)
+        self.text = TextTower(self.config.text, self.config.activation,
+                              self.config.quantize_mlp)
         self.logit_scale = self.param(
             "logit_scale", nn.initializers.constant(jnp.log(1 / 0.07)), ()
         )

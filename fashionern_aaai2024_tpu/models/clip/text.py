@@ -25,6 +25,7 @@ from fashionern_aaai2024_tpu.models.clip.transformer import LayerNorm, Transform
 class TextTower(nn.Module):
     config: TextConfig
     activation: str = "gelu"
+    quantize_mlp: bool = False
 
     @nn.compact
     def __call__(self, text_ids: jnp.ndarray, visual_emb: jnp.ndarray | None = None):
@@ -41,7 +42,7 @@ class TextTower(nn.Module):
         x = token_embedding[text_ids] + positional_embedding[None]
         x = Transformer(
             cfg.width, cfg.layers, cfg.heads, self.activation, causal=True,
-            name="transformer",
+            quantize_mlp=self.quantize_mlp, name="transformer",
         )(x)
         x = LayerNorm(cfg.width, name="ln_final")(x)
         text_projection = self.param(

@@ -17,6 +17,7 @@ from fashionern_aaai2024_tpu.ops.attention import (
     fused_qkv_self_attention, multi_head_attention,
 )
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
+from fashionern_aaai2024_tpu.ops.qmatmul import int8_matmul
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -42,11 +43,30 @@ class LayerNorm(nn.Module):
         return layer_norm(x, scale, bias, eps=self.eps)
 
 
+class MaybeQuantDense(nn.Module):
+    """nn.Dense-compatible params (kernel [in,out], bias [out] — the
+    checkpoint converter sees no difference) with an int8 serving path
+    (`ops.qmatmul`, --quantize-towers)."""
+
+    features: int
+    quantize: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.quantize:
+            return int8_matmul(x, kernel, bias)
+        return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
+
+
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     activation: str = "gelu"
     causal: bool = False
+    quantize_mlp: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B, S, W]
@@ -82,9 +102,9 @@ class ResidualAttentionBlock(nn.Module):
         x = x + nn.Dense(w, name="out_proj")(o)
 
         y = LayerNorm(w, name="ln_2")(x)
-        y = nn.Dense(4 * w, name="c_fc")(y)
+        y = MaybeQuantDense(4 * w, self.quantize_mlp, name="c_fc")(y)
         y = get_activation(self.activation)(y)
-        x = x + nn.Dense(w, name="c_proj")(y)
+        x = x + MaybeQuantDense(w, self.quantize_mlp, name="c_proj")(y)
         return x
 
 
@@ -94,12 +114,13 @@ class Transformer(nn.Module):
     heads: int
     activation: str = "gelu"
     causal: bool = False
+    quantize_mlp: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.layers):
             x = ResidualAttentionBlock(
                 self.width, self.heads, self.activation, self.causal,
-                name=f"resblock_{i}",
+                self.quantize_mlp, name=f"resblock_{i}",
             )(x)
         return x

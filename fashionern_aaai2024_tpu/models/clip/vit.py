@@ -23,6 +23,7 @@ from fashionern_aaai2024_tpu.models.clip.transformer import LayerNorm, Transform
 class ViTTower(nn.Module):
     config: VisionConfig
     activation: str = "gelu"
+    quantize_mlp: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray):
@@ -52,7 +53,8 @@ class ViTTower(nn.Module):
         x = x + positional_embedding[None]
         x = LayerNorm(cfg.width, name="ln_pre")(x)
         x = Transformer(
-            cfg.width, cfg.layers, cfg.heads, self.activation, name="transformer"
+            cfg.width, cfg.layers, cfg.heads, self.activation,
+            quantize_mlp=self.quantize_mlp, name="transformer"
         )(x)
         x = LayerNorm(cfg.width, name="ln_post")(x)
         proj = self.param(

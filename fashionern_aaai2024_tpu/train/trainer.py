@@ -436,12 +436,21 @@ class Trainer:
     def validate(self, epoch: int) -> float | None:
         if self.validator is None:
             return None
-        api = E.InferenceAPI(
-            self.model, self.state.variables(), batch_size=self.cfg.eval_batch_size,
-            context_length=self.clip_cfg.text.context_length,
-            tokenizer=self.tokenizer,
-        )
-        metric, detail = self.validator(api)
+        # one InferenceAPI for the whole run: its jitted forwards take
+        # the variables as ARGUMENTS, so refreshing the weights per
+        # validation epoch reuses the compiled programs (a fresh API per
+        # epoch recompiled everything — ~minutes/validation at full size)
+        if not hasattr(self, "_val_api"):
+            self._val_api = E.InferenceAPI(
+                self.model, self.state.variables(),
+                batch_size=self.cfg.eval_batch_size,
+                context_length=self.clip_cfg.text.context_length,
+                tokenizer=self.tokenizer,
+            )
+        else:
+            self._val_api.variables = jax.tree_util.tree_map(
+                jnp.asarray, self.state.variables())
+        metric, detail = self.validator(self._val_api)
         flat = {k: v for k, v in detail.items() if isinstance(v, (int, float))}
         self.logger.log(step=self.global_step, epoch=epoch, val_metric=metric, **flat)
         # save params AND BN running stats — the reference's state_dict()

@@ -360,3 +360,69 @@ class TestFusedQKVAttention:
         for a, c in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=1e-5, rtol=1e-5)
+
+
+class TestInt8Matmul:
+    def test_formula(self):
+        from fashionern_aaai2024_tpu.ops.qmatmul import (
+            int8_matmul, quantize_colwise, quantize_rowwise,
+        )
+
+        g = np.random.default_rng(3)
+        x = jnp.asarray(g.standard_normal((5, 32)), jnp.float32)
+        w = jnp.asarray(g.standard_normal((32, 16)), jnp.float32)
+        b = jnp.asarray(g.standard_normal((16,)), jnp.float32)
+        got = np.asarray(int8_matmul(x, w, b))
+        xq, xs = quantize_rowwise(x)
+        wq, ws = quantize_colwise(w)
+        want = (np.asarray(xq, np.int32) @ np.asarray(wq, np.int32)
+                ).astype(np.float32) * np.asarray(xs) * np.asarray(ws) \
+            + np.asarray(b)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # dynamic-range sanity: error vs exact matmul bounded by quant step
+        exact = np.asarray(x) @ np.asarray(w) + np.asarray(b)
+        rel = np.abs(got - exact).max() / np.abs(exact).max()
+        assert rel < 0.05
+
+    def test_quantized_tower_rank_agreement(self):
+        """int8-MLP tower vs float tower on a retrieval task: same
+        checkpoint, high top-k overlap (the serving accuracy contract)."""
+        import dataclasses
+
+        from fashionern_aaai2024_tpu.models.clip.config import (
+            CLIPConfig, TextConfig, VisionConfig,
+        )
+        from fashionern_aaai2024_tpu.models.clip.model import CLIP
+
+        cfg = CLIPConfig(
+            name="t",
+            vision=VisionConfig(kind="vit", image_size=32, embed_dim=24,
+                                width=64, layers=2, heads=4, patch_size=16),
+            text=TextConfig(vocab_size=50, context_length=8, width=32,
+                            heads=4, layers=2, embed_dim=24),
+        )
+        m = CLIP(cfg)
+        mq = CLIP(dataclasses.replace(cfg, quantize_mlp=True))
+        g = np.random.default_rng(0)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   jnp.zeros((1, 8), jnp.int32))
+        imgs = jnp.asarray(g.random((24, 32, 32, 3), dtype=np.float32))
+
+        def feats(model):
+            f = model.apply(v, imgs, method=model.encode_image)[0]
+            f = np.asarray(f)
+            return f / np.linalg.norm(f, axis=-1, keepdims=True)
+
+        a, b = feats(m), feats(mq)
+        sims_a, sims_b = a[:4] @ a.T, b[:4] @ b.T
+        top_a = np.argsort(-sims_a, axis=-1)[:, :5]
+        top_b = np.argsort(-sims_b, axis=-1)[:, :5]
+        overlap = np.mean([
+            len(set(top_a[i]) & set(top_b[i])) / 5 for i in range(4)
+        ])
+        assert overlap >= 0.8, f"top-5 overlap {overlap}"
+        # param tree unchanged: same checkpoints serve both paths
+        vq = mq.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                     jnp.zeros((1, 8), jnp.int32))
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(vq))
