@@ -312,10 +312,129 @@ def qkv_fused_main():
     print(f"qkv-fused kernel: {t1*1e3:.3f} ms/layer", flush=True)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Whole-attention-sub-block kernel: x_raw -> LN -> qkv -> attention ->
+# out_proj -> +residual, one program per image. Adds the LN and the
+# attention-output materializations (~0.2 ms/layer) to the fused-QKV
+# savings.
+
+
+def _attnblock_kernel(x_ref, g_ref, be_ref, w_ref, b_ref, wo_ref, bo_ref,
+                      bias_ref, out_ref, *, scale, eps=1e-5):
+    x = x_ref[0]                                        # [S, W] raw
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = (xc * jax.lax.rsqrt(var + eps) * g_ref[:].astype(jnp.float32)
+         + be_ref[:].astype(jnp.float32)).astype(x.dtype)
+    prec = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    qkv = (jax.lax.dot_general(
+        y, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + b_ref[:]).astype(x.dtype)
+    heads_out = []
+    for h in range(H):
+        q = qkv[:, 64 * h: 64 * (h + 1)]
+        k = qkv[:, W + 64 * h: W + 64 * (h + 1)]
+        v = qkv[:, 2 * W + 64 * h: 2 * W + 64 * (h + 1)]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias_ref[:]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        heads_out.append(o)
+    attn = jnp.concatenate(heads_out, axis=-1)
+    proj = (jax.lax.dot_general(
+        attn, wo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    ) + bo_ref[:]).astype(x.dtype)
+    out_ref[0] = x + proj
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def attnblock(x, g_, be, w_qkv, b_qkv, w_out, b_out, bias, scale: float):
+    b, s, w = x.shape
+    return pl.pallas_call(
+        functools.partial(_attnblock_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 3 * w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, s), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, s, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, g_, be, w_qkv, b_qkv, w_out, b_out, bias)
+
+
+def attnblock_main():
+    g = np.random.default_rng(0)
+    scale = DH ** -0.5
+    x = g.standard_normal((B, S, W)).astype(np.float32)
+    gamma = g.standard_normal((W,)).astype(np.float32) * 0.1 + 1.0
+    beta = g.standard_normal((W,)).astype(np.float32) * 0.1
+    w = (g.standard_normal((W, 3 * W)) * 0.02).astype(np.float32)
+    bvec = (g.standard_normal((3 * W,)) * 0.02).astype(np.float32)
+    wo = (g.standard_normal((W, W)) * 0.02).astype(np.float32)
+    bo = (g.standard_normal((W,)) * 0.02).astype(np.float32)
+    bias = jnp.zeros((S, S), jnp.float32)
+
+    def ref(x, gamma, beta, w, bvec, wo, bo):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta).astype(x.dtype)
+        qkv = jnp.einsum("bsw,wo->bso", y, w) + bvec
+        def split(t):
+            return t.reshape(x.shape[0], S, H, DH).transpose(0, 2, 1, 3)
+        q, k, v = (split(qkv[..., :W]), split(qkv[..., W:2*W]), split(qkv[..., 2*W:]))
+        s_ = jnp.einsum("bhqd,bhkd->bhqk", q, k) * jnp.asarray(scale, q.dtype)
+        p = jax.nn.softmax(s_.astype(jnp.float32), -1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], S, W)
+        return x + (jnp.einsum("bsw,wo->bso", o, wo) + bo).astype(x.dtype)
+
+    want = np.asarray(ref(jnp.asarray(x[:2]), gamma, beta, w, bvec, wo, bo))
+    got = np.asarray(attnblock(jnp.asarray(x[:2]), jnp.asarray(gamma),
+                               jnp.asarray(beta), jnp.asarray(w),
+                               jnp.asarray(bvec), jnp.asarray(wo),
+                               jnp.asarray(bo), bias, scale))
+    err = np.abs(got - want).max()
+    print(f"attnblock fp32 max err: {err:.2e}", flush=True)
+
+    to_b = lambda a: jnp.asarray(a, jnp.bfloat16)
+    xb, gb_, beb = to_b(x), to_b(gamma), to_b(beta)
+    wb, bb, wob, bob = to_b(w), to_b(bvec), to_b(wo), to_b(bo)
+    refj = jax.jit(ref)
+    t0 = timeit(lambda *a: refj(*a), xb, gb_, beb, wb, bb, wob, bob)
+    print(f"XLA whole sub-block: {t0*1e3:.3f} ms/layer", flush=True)
+    t1 = timeit(lambda *a: attnblock(*a, bias, scale),
+                xb, gb_, beb, wb, bb, wob, bob)
+    print(f"attnblock kernel:    {t1*1e3:.3f} ms/layer", flush=True)
+
+
 if __name__ == "__main__":
     import sys
     if "--packed" in sys.argv:
         packed_main()
+        raise SystemExit
+    if "--attnblock" in sys.argv:
+        attnblock_main()
         raise SystemExit
     if "--qkv-fused" in sys.argv:
         qkv_fused_main()

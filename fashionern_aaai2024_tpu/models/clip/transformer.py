@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from fashionern_aaai2024_tpu.ops.attention import (
-    fused_qkv_self_attention, multi_head_attention,
+    attention_subblock, multi_head_attention,
 )
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
 from fashionern_aaai2024_tpu.ops.qmatmul import int8_matmul
@@ -61,6 +61,32 @@ class MaybeQuantDense(nn.Module):
         return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
 
 
+class _LNParams(nn.Module):
+    """Param holder with LayerNorm's tree names (scale, bias) — lets the
+    whole-sub-block kernel consume the raw parameters while keeping the
+    checkpoint tree identical to the module-based layout."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class _DenseParams(nn.Module):
+    """Param holder with nn.Dense's tree names (kernel [in,out], bias)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_features, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
@@ -74,21 +100,25 @@ class ResidualAttentionBlock(nn.Module):
         h = self.heads
         head_dim = w // h
 
-        y = LayerNorm(w, name="ln_1")(x)
+        ln1_scale, ln1_bias = _LNParams(w, name="ln_1")()
         in_proj_weight = self.param(
             "in_proj_weight", nn.initializers.xavier_uniform(), (3 * w, w)
         )
         in_proj_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * w,))
+        out_kernel, out_bias = _DenseParams(w, w, name="out_proj")()
         if head_dim == 64 and w % 128 == 0:
-            # projection + attention in one kernel: the qkv tensor never
-            # exists in HBM and the heads split/merge in VMEM — the
-            # [B,H,S,Dh] operand layout is never materialized
-            # (ops/attention.py dispatch notes; tiered fallback to the
-            # packed kernel / identical XLA formula off-TPU)
-            o = fused_qkv_self_attention(
-                y, in_proj_weight.T, in_proj_bias, h, causal=self.causal
+            # LN + QKV projection + attention + out-projection +
+            # residual in ONE kernel: neither the LN'd activations, the
+            # qkv tensor, the [B,H,S,Dh] layout, nor the attention
+            # output ever materialize in HBM (ops/attention.py dispatch
+            # notes; tiered fallback to the packed kernel / identical
+            # XLA formula off-TPU)
+            x = attention_subblock(
+                x, ln1_scale, ln1_bias, in_proj_weight.T, in_proj_bias,
+                out_kernel, out_bias, h, causal=self.causal,
             )
         else:
+            y = layer_norm(x, ln1_scale, ln1_bias)
             qkv = jnp.einsum("bsd,od->bso", y, in_proj_weight) + in_proj_bias
             q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -99,7 +129,7 @@ class ResidualAttentionBlock(nn.Module):
                 split_heads(q), split_heads(k), split_heads(v), causal=self.causal
             )
             o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
-        x = x + nn.Dense(w, name="out_proj")(o)
+            x = x + (o @ out_kernel.astype(o.dtype) + out_bias.astype(o.dtype))
 
         y = LayerNorm(w, name="ln_2")(x)
         y = MaybeQuantDense(4 * w, self.quantize_mlp, name="c_fc")(y)

@@ -426,3 +426,69 @@ class TestInt8Matmul:
                      jnp.zeros((1, 8), jnp.int32))
         assert (jax.tree_util.tree_structure(v)
                 == jax.tree_util.tree_structure(vq))
+
+
+class TestAttentionSubblock:
+    """Whole attention sub-block kernel (LN + qkv + attention + out-proj
+    + residual): interpret-mode exactness + full gradient parity."""
+
+    def _inputs(self, b=2, s=18, heads=2, dh=64, seed=13):
+        g = np.random.default_rng(seed)
+        w = heads * dh
+        return (jnp.asarray(g.standard_normal((b, s, w)), jnp.float32),
+                jnp.asarray(1 + 0.1 * g.standard_normal((w,)), jnp.float32),
+                jnp.asarray(0.1 * g.standard_normal((w,)), jnp.float32),
+                jnp.asarray(g.standard_normal((w, 3 * w)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((3 * w,)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((w, w)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((w,)) * 0.05, jnp.float32))
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_ref(self, causal):
+        from fashionern_aaai2024_tpu.ops.attention import (
+            _subblock_ref, attention_subblock,
+        )
+
+        args = self._inputs()
+        got = attention_subblock(*args, 2, causal=causal,
+                                 force_pallas=True, interpret=True)
+        s = args[0].shape[1]
+        bias = (jnp.where(jnp.tril(jnp.ones((s, s), bool)), 0.0, -1e30)
+                .astype(jnp.float32) if causal
+                else jnp.zeros((s, s), jnp.float32))
+        want = _subblock_ref(*args, bias, 64 ** -0.5, 2, 1e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_fallback_matches_kernel(self):
+        """The two-stage fallback (force_pallas=False) computes the same
+        function as the kernel path."""
+        from fashionern_aaai2024_tpu.ops.attention import attention_subblock
+
+        args = self._inputs()
+        a = attention_subblock(*args, 2, force_pallas=True, interpret=True)
+        b = attention_subblock(*args, 2, force_pallas=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_grad_matches(self):
+        from fashionern_aaai2024_tpu.ops.attention import (
+            _subblock_ref, attention_subblock,
+        )
+
+        args = self._inputs(b=2, s=10)
+
+        def lp(*a):
+            o = attention_subblock(*a, 2, force_pallas=True, interpret=True)
+            return jnp.sum(jnp.tanh(o))
+
+        def lr(*a):
+            s = a[0].shape[1]
+            o = _subblock_ref(*a, jnp.zeros((s, s), jnp.float32),
+                              64 ** -0.5, 2, 1e-5)
+            return jnp.sum(jnp.tanh(o))
+
+        gp = jax.grad(lp, argnums=tuple(range(7)))(*args)
+        gr = jax.grad(lr, argnums=tuple(range(7)))(*args)
+        for a, c in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=2e-5, rtol=1e-4)
