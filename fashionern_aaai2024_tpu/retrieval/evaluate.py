@@ -76,23 +76,50 @@ class InferenceAPI:
         # constants, which at full model size blew the remote-compile
         # request limit (HTTP 413) when the TPU dress rehearsal first
         # drove this path
-        self._encode_image_v = jax.jit(
-            lambda v, imgs: model.apply(v, imgs, method=model.encode_image)
-        )
-        self._encode_text_v = jax.jit(
-            lambda v, ids: model.apply(v, ids, method=model.encode_text)
-        )
-        self._query_v = jax.jit(
-            lambda v, rf, rp, tg, ts: model.apply(
-                v, rf, rp, tg, ts, method=model.query
-            )
-        )
         def _index_fn(v, tf, tl):
             # eps matches torch F.normalize (1e-12); also keeps zero pad rows finite
             tf = tf / (jax.numpy.linalg.norm(tf, axis=-1, keepdims=True) + 1e-12)
             return model.apply(v, tf, tl, method=model.index)
 
-        self._index_v = jax.jit(_index_fn)
+        fns = {
+            "_encode_image_v": lambda v, imgs: model.apply(
+                v, imgs, method=model.encode_image),
+            "_encode_text_v": lambda v, ids: model.apply(
+                v, ids, method=model.encode_text),
+            "_query_v": lambda v, rf, rp, tg, ts: model.apply(
+                v, rf, rp, tg, ts, method=model.query),
+            "_index_v": _index_fn,
+        }
+        if mesh is None:
+            for name, fn in fns.items():
+                setattr(self, name, jax.jit(fn))
+        else:
+            # Mesh path: shard_map over the data axis, not plain GSPMD —
+            # the towers are purely batch-parallel (no collectives), and
+            # GSPMD has no partitioning rule for the Pallas attention
+            # kernels so it would REPLICATE them (each chip redoing the
+            # full batch; verified on the CPU mesh). Under shard_map
+            # every chip runs its batch shard through the full program,
+            # kernels included.
+            from jax.sharding import PartitionSpec as P
+
+            def data_spec(tree_example_ndim):
+                return P("data", *([None] * (tree_example_ndim - 1)))
+
+            def wrap(fn, arg_ndims, out_ndims):
+                in_specs = (P(),) + tuple(data_spec(n) for n in arg_ndims)
+                out_specs = (tuple(data_spec(n) for n in out_ndims)
+                             if isinstance(out_ndims, tuple)
+                             else data_spec(out_ndims))
+                return jax.jit(jax.shard_map(
+                    fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                    check_vma=False,
+                ))
+
+            self._encode_image_v = wrap(fns["_encode_image_v"], (4,), (2, 3))
+            self._encode_text_v = wrap(fns["_encode_text_v"], (2,), (2, 3))
+            self._query_v = wrap(fns["_query_v"], (2, 3, 2, 3), 2)
+            self._index_v = wrap(fns["_index_v"], (2, 3), 2)
 
     def _encode_image(self, imgs):
         return self._encode_image_v(self.variables, imgs)
