@@ -60,6 +60,7 @@ def build_train_step(
     temperature: float = TEMPERATURE,
     forward: Callable | None = None,
     donate: bool = True,
+    mesh=None,
 ) -> Callable[[CIRTrainState, dict], tuple[CIRTrainState, jnp.ndarray]]:
     """Returns `step(state, batch) -> (new_state, loss)`, jit-compiled
     with state donation. `batch` keys: ref_image, tar_image, text_ids,
@@ -68,8 +69,18 @@ def build_train_step(
     `forward` overrides the model method (default
     `model.train_forward`) — used by feature-only training where images
     were pre-encoded.
-    """
+
+    `mesh`: with a >1-device mesh the step body runs under
+    `jax.shard_map` — each device computes its batch shard through the
+    FULL program (the Pallas kernels included; GSPMD has no partitioning
+    rule for them and would replicate the towers, verified on the CPU
+    mesh) with explicit `pmean` collectives for gradients, loss, and BN
+    stats riding ICI. "local" negatives are then simply per-shard BBC —
+    exactly the reference's per-rank DDP semantics, no reshape needed.
+    Without a mesh the GSPMD path is kept (single chip / tests)."""
     method = forward if forward is not None else model.train_forward
+
+    use_shard_map = mesh is not None and mesh.devices.size > 1
 
     def loss_fn(ern_params, state: CIRTrainState, batch: dict, rng):
         variables = {"params": {"clip": state.clip_params, "ern": ern_params}}
@@ -87,7 +98,17 @@ def build_train_step(
             mutable=["batch_stats"],
             rngs={"dropout": rng},
         )
-        if negatives == "local" and local_groups > 1:
+        if use_shard_map:
+            if negatives == "global":
+                loss = batch_based_classification_loss(
+                    fusion, target, temperature=temperature,
+                    negatives="global", axis_name="data",
+                )
+            else:  # per-shard negatives == per-rank DDP parity
+                loss = batch_based_classification_loss(
+                    fusion, target, temperature=temperature
+                )
+        elif negatives == "local" and local_groups > 1:
             loss = grouped_bbc_loss(fusion, target, local_groups, temperature)
         else:
             loss = batch_based_classification_loss(
@@ -95,12 +116,23 @@ def build_train_step(
             )
         return loss, mutated.get("batch_stats", state.batch_stats)
 
-    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-    def step(state: CIRTrainState, batch: dict):
+    def step_body(state: CIRTrainState, batch: dict):
         rng = jax.random.fold_in(state.dropout_rng, state.step)
+        if use_shard_map:
+            # distinct dropout masks per shard (the global-batch mask of
+            # the GSPMD path is equivalent in distribution)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.ern_params, state, batch, rng
         )
+        if use_shard_map:
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            if new_stats:
+                # running BN stats averaged over shards (sync-BN-style;
+                # the reference keeps rank-0's — equivalent in steady
+                # state, deterministic here)
+                new_stats = jax.lax.pmean(new_stats, "data")
         updates, opt_state = optimizer.update(grads, state.opt_state, state.ern_params)
         ern_params = optax.apply_updates(state.ern_params, updates)
         new_state = state.replace(
@@ -110,6 +142,21 @@ def build_train_step(
             batch_stats=new_stats,
         )
         return new_state, loss
+
+    if use_shard_map:
+        from jax.sharding import PartitionSpec as P
+
+        body = jax.shard_map(
+            step_body, mesh=mesh,
+            in_specs=(P(), P("data")), out_specs=(P(), P()),
+            check_vma=False,
+        )
+    else:
+        body = step_body
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state: CIRTrainState, batch: dict):
+        return body(state, batch)
 
     return step
 

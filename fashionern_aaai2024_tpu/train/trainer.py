@@ -280,12 +280,14 @@ class Trainer:
                 self.model, self.optimizer,
                 negatives=cfg.negatives,
                 local_groups=self.mesh.shape[meshlib.DATA_AXIS],
+                mesh=self.mesh,
             )
         else:
             self.step_fn = build_train_step(
                 self.model, self.optimizer,
                 negatives=cfg.negatives,
                 local_groups=self.mesh.shape[meshlib.DATA_AXIS],
+                mesh=self.mesh,
             )
         self._feature_cache: dict[str, np.ndarray] | None = None
         self.validator = (

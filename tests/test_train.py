@@ -540,3 +540,45 @@ class TestCachedFeatures:
             it["ref_image"] = g.random((32, 32, 3), dtype=np.float32)
         tr.train()
         assert len(tr._feature_cache) == 16  # lazily filled
+
+
+class TestShardMapTrainStep:
+    """The shard_map step (explicit pmean collectives, per-shard
+    negatives) computes the same update as the GSPMD step for a
+    deterministic forward."""
+
+    def test_matches_gspmd_step(self):
+        import optax
+
+        from fashionern_aaai2024_tpu.train.state import create_train_state
+        from fashionern_aaai2024_tpu.train.step import build_train_step
+
+        model = tiny_model()
+        mesh = meshlib.create_mesh(2)
+        rngs = np.random.default_rng(0)
+        host_batch = tiny_batch(rngs, b=8)
+        variables = init_variables(model, host_batch)
+        batch = meshlib.shard_batch(mesh, host_batch)
+        opt = optax.sgd(1e-2)
+
+        def det_forward(mdl, ref_image, tar_image, text_ids, ref_patch,
+                        tar_patch, *, deterministic=False):
+            # dropout-free forward so both paths are bit-comparable
+            return mdl.train_forward(ref_image, tar_image, text_ids,
+                                     ref_patch, tar_patch,
+                                     deterministic=True)
+
+        outs = {}
+        for name, mesh_arg, groups in (("gspmd", None, 2),
+                                       ("shard_map", mesh, 2)):
+            state = create_train_state(variables, opt, jax.random.PRNGKey(7))
+            step = build_train_step(model, opt, negatives="local",
+                                    local_groups=groups, forward=det_forward,
+                                    donate=False, mesh=mesh_arg)
+            state2, loss = step(state, batch)
+            outs[name] = (float(loss),
+                          jax.tree_util.tree_leaves(state2.ern_params)[0])
+        assert outs["gspmd"][0] == pytest.approx(outs["shard_map"][0], rel=1e-6)
+        np.testing.assert_allclose(np.asarray(outs["gspmd"][1]),
+                                   np.asarray(outs["shard_map"][1]),
+                                   atol=1e-6)
