@@ -431,6 +431,8 @@ def run_info() -> dict:
     from fashionern_aaai2024_tpu.ops.extra_losses import LOSS_REGISTRY
     from fashionern_aaai2024_tpu.train.trainer import PLUGINS
 
+    from fashionern_aaai2024_tpu.ops.common import use_pallas
+
     info = {
         "version": __version__,
         "backbones": sorted(_CONFIGS),
@@ -438,6 +440,15 @@ def run_info() -> dict:
         "losses": sorted(LOSS_REGISTRY),
         "zoo_models": sorted(_ZOO),
         "native_loader": native.available(),
+        # kernel dispatch summary (ops/attention.py, BASELINE.md ledger)
+        "pallas_kernels": {
+            "enabled": use_pallas(),
+            "self_attention_bf16": "whole-sub-block kernel (LN+qkv+attn+out_proj+residual)",
+            "self_attention_fp32": "packed-QKV kernel (bit-exact vs XLA on-chip)",
+            "bbc_loss": "fused forward + custom VJP",
+            "int8_mlp_serving": "--quantize-towers",
+            "kill_switch": "FASHIONERN_NO_PALLAS=1",
+        },
     }
     try:
         import jax
