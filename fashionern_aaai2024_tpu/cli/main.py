@@ -349,10 +349,13 @@ def make_classic_loader(args):
                   worker_type=getattr(args, "worker_type", "thread"))
 
 
-def run_serve(args) -> None:
+def build_service(args):
+    """Model + gallery + RetrievalService from serve-CLI args (separate
+    from `run_serve` so tests can drive the wiring without
+    serve_forever)."""
     from fashionern_aaai2024_tpu.models.clip.config import get_clip_config
     from fashionern_aaai2024_tpu.retrieval import evaluate as E
-    from fashionern_aaai2024_tpu.retrieval.server import RetrievalService, serve
+    from fashionern_aaai2024_tpu.retrieval.server import RetrievalService
 
     if args.bpe_path:
         import os
@@ -373,7 +376,13 @@ def run_serve(args) -> None:
                          context_length=clip_cfg.text.context_length,
                          mesh=mesh, quantize_gallery=args.quantize_gallery)
     print(f"embedding gallery ({args.dataset}/{args.split}) ...", flush=True)
-    service = RetrievalService(api, make_classic_loader(args))
+    return RetrievalService(api, make_classic_loader(args))
+
+
+def run_serve(args) -> None:
+    from fashionern_aaai2024_tpu.retrieval.server import serve
+
+    service = build_service(args)
     httpd = serve(service, host=args.host, port=args.port)
     print(f"serving {service.gallery_size} gallery items on "
           f"http://{args.host}:{httpd.server_address[1]} "

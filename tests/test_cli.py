@@ -174,3 +174,43 @@ class TestRunMirrors:
         assert _run("eval", "fashioniq") == 0
         out = capsys.readouterr().out
         assert '"mean_recall_at50": 100.0' in out
+
+
+class TestServeCLI:
+    def test_build_service_and_http(self, fiq_root, tiny_backbone, bpe_file):
+        """The serve-CLI wiring end-to-end: dataset -> gallery embed ->
+        service -> HTTP query on an ephemeral port."""
+        import json as _json
+        import threading
+        import urllib.request
+        from types import SimpleNamespace
+
+        from fashionern_aaai2024_tpu.cli.main import build_service
+        from fashionern_aaai2024_tpu.retrieval.server import serve
+
+        args = SimpleNamespace(
+            dataset="fashioniq", data_root=fiq_root,
+            clip_model_name=tiny_backbone, patch_num=13, num_workers=0,
+            target_ratio=1.25, transform="targetpad", bpe_path=bpe_file,
+            clip_path=None, fusion_model_path=None, batch_size=8,
+            split="val", quantize_towers=False, quantize_gallery=False,
+            data_parallel=False,
+        )
+        service = build_service(args)
+        assert service.gallery_size > 0
+        httpd = serve(service, port=0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = httpd.server_address[1]
+            ref = service.gallery.names[0]
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query",
+                data=_json.dumps({"ref_name": ref, "caption": "low red",
+                                  "k": 2}).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req) as r:
+                data = _json.loads(r.read())
+            assert len(data["results"]) == 2
+        finally:
+            httpd.shutdown()
