@@ -1,4 +1,4 @@
-"""Fused multi-head attention.
+"""Fused multi-head attention — tiered Pallas kernels + XLA fallback.
 
 Serves every attention site in the stack (reference locations in
 parentheses):
@@ -10,22 +10,32 @@ parentheses):
     (`models/fusion_model.py:18-20,44-47`).
   * RN50x4 attention-pool head.
 
-Sequences are short (13–257 tokens), so the whole S×S score matrix of a
-head fits in VMEM and never round-trips to HBM. The kernel processes G
-(batch, head) pairs per grid program — round-1's one-pair-per-program
-version was launch-overhead-bound at grid 1536 (3.4 ms/layer); grouping
-amortizes that and beats XLA's fused attention at ViT-B-16 shapes
-(measured v5e, B=128 H=12 S=197 Dh=64 bf16: XLA 1.93 ms/layer, grouped
-G=32 1.41 ms/layer; benchmarks/attn_experiment.py. A packed-lanes
-variant that reads the QKV projection output directly measured 1.65
-ms — the unaligned 64-lane head slices cost more than the HBM padding
-they save).
+Sequences are short (13–257 tokens): the whole S×S score matrix of a
+head fits in VMEM and need never round-trip to HBM. The hard lesson of
+the measured ledger (BASELINE.md "r2 attention-kernel ledger") is that
+at these shapes the operand LAYOUT cost dominates kernel-internal
+efficiency, so the production tiers fuse progressively more of the
+block to avoid materializing layouts at all:
 
-The kernel carries a custom VJP (XLA-ref backward, recomputed scores) so
-gradient-bearing sites (ERN fusion attention with dropout off) can use
-it; training-time attention-probability dropout uses the XLA path
-(dropout between two matmuls isn't worth a custom backward at these
-sizes).
+  1. `attention_subblock` — LN + QKV projection + per-head attention +
+     out-projection + residual in ONE program per image; only x in /
+     x out touches HBM, projection weights stay VMEM-resident across
+     the grid. Production dispatch for bf16 self-attention with Dh=64
+     (both CLIP towers). 2.00 vs 2.91 ms/layer against the XLA
+     sub-block; bench 2810 → 4058 img/s across r2.
+  2. `packed_qkv_self_attention` — attention straight from a packed
+     [B,S,3W] qkv tensor, heads sliced in VMEM. fp32 tier (verified
+     BIT-EXACT vs XLA on-chip at S=197) and the sub-block's fallback.
+  3. `multi_head_attention` ([B,H,S,Dh] form) — grouped multi-(b,h)
+     per-program kernel for long sequences / lane-aligned heads; XLA
+     at CLIP shapes (this call form forces materializing lane-padded
+     operands that XLA's own fusion avoids — measured net loss).
+  4. XLA reference formula — off-TPU, odd shapes, and every
+     dropout-bearing site.
+
+All kernels carry custom VJPs (XLA-ref backward, recomputed scores) so
+gradient-bearing sites (frozen-tower forwards in the train step, fusion
+attention with dropout off) can use them.
 """
 
 from __future__ import annotations
