@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import concurrent.futures as futures
 import multiprocessing
+import threading
 from typing import Any, Iterator, Sequence
 
 import numpy as np
@@ -25,7 +26,13 @@ import numpy as np
 # Fork-inherited dataset handle: set in the parent immediately before
 # the pool forks, so workers read it as a plain global and no dataset
 # pickling ever happens (PatchFeatureStore mmaps stay mmaps).
+# ProcessPoolExecutor forks workers lazily, so the global must stay set
+# (and unchanged) for the whole iteration — _PROCESS_LOADER_LOCK makes
+# that safe by allowing only ONE process-type Loader iteration at a
+# time; a second concurrent one raises instead of silently handing
+# late-forked workers the wrong dataset.
 _WORKER_DATASET = None
+_PROCESS_LOADER_LOCK = threading.Lock()
 
 
 def _worker_get(i: int):
@@ -117,19 +124,29 @@ class Loader:
         # its items on one thread — measured 1.0x scaling at any worker
         # count; per-item gives near-linear scaling for decode-bound
         # datasets).
+        holds_lock = False
         if self.worker_type == "process":
             global _WORKER_DATASET
+            if not _PROCESS_LOADER_LOCK.acquire(blocking=False):
+                raise RuntimeError(
+                    "another process-type Loader is mid-iteration; "
+                    "late-forked workers would inherit its dataset. "
+                    "Exhaust/close it first, or use worker_type='thread'."
+                )
+            holds_lock = True
             _WORKER_DATASET = self.dataset  # inherited by fork below
+            # (workers fork lazily on submit, so the global stays set —
+            # and the lock held — until pool shutdown in finally)
             try:
                 pool = futures.ProcessPoolExecutor(
                     self.num_workers,
                     mp_context=multiprocessing.get_context("fork"),
                 )
-                get = _worker_get
-            finally:
-                # children have forked (lazily at first submit on some
-                # versions, so keep it set until pool shutdown below)
-                pass
+            except BaseException:
+                _WORKER_DATASET = None
+                _PROCESS_LOADER_LOCK.release()
+                raise
+            get = _worker_get
         else:
             pool = futures.ThreadPoolExecutor(self.num_workers)
             get = self.dataset.__getitem__
@@ -146,5 +163,6 @@ class Loader:
                 yield self.collate([f.result() for f in pending[i]])
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
-            if self.worker_type == "process":
+            if holds_lock:
                 _WORKER_DATASET = None
+                _PROCESS_LOADER_LOCK.release()

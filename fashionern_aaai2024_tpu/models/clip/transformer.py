@@ -17,6 +17,7 @@ from fashionern_aaai2024_tpu.ops.attention import (
     attention_subblock, multi_head_attention,
 )
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
+from fashionern_aaai2024_tpu.ops.mlp import mlp_subblock
 from fashionern_aaai2024_tpu.ops.qmatmul import int8_matmul
 
 
@@ -131,11 +132,24 @@ class ResidualAttentionBlock(nn.Module):
             o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
             x = x + (o @ out_kernel.astype(o.dtype) + out_bias.astype(o.dtype))
 
-        y = LayerNorm(w, name="ln_2")(x)
-        y = MaybeQuantDense(4 * w, self.quantize_mlp, name="c_fc")(y)
-        y = get_activation(self.activation)(y)
-        x = x + MaybeQuantDense(w, self.quantize_mlp, name="c_proj")(y)
-        return x
+        if self.quantize_mlp:
+            # int8 serving path keeps the module-based layout
+            y = LayerNorm(w, name="ln_2")(x)
+            y = MaybeQuantDense(4 * w, True, name="c_fc")(y)
+            y = get_activation(self.activation)(y)
+            x = x + MaybeQuantDense(w, True, name="c_proj")(y)
+            return x
+        # LN₂ + c_fc + activation + c_proj + residual in ONE kernel —
+        # the MLP is 2/3 of the block's FLOPs and its HBM traffic
+        # (hidden [B,S,4W] round-trips) set the r2 trunk's 126-vs-197
+        # TF/s gap (ops/mlp.py; identical-formula XLA fallback off-TPU)
+        ln2_scale, ln2_bias = _LNParams(w, name="ln_2")()
+        fc_kernel, fc_bias = _DenseParams(w, 4 * w, name="c_fc")()
+        proj_kernel, proj_bias = _DenseParams(4 * w, w, name="c_proj")()
+        return mlp_subblock(
+            x, ln2_scale, ln2_bias, fc_kernel, fc_bias, proj_kernel,
+            proj_bias, activation=self.activation,
+        )
 
 
 class Transformer(nn.Module):

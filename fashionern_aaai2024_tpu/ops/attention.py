@@ -233,6 +233,119 @@ def packed_qkv_self_attention(
     return _packed_diff(qkv, bias, scale, heads, 1, interpret)
 
 
+def _packed_cross_kernel(q_ref, kv_ref, bias_ref, out_ref, *, scale: float,
+                         gb: int, heads: int, w: int):
+    dh = w // heads
+    for i in range(gb):
+        for h in range(heads):
+            q = q_ref[i, :, dh * h: dh * (h + 1)]            # [Sq, dh]
+            k = kv_ref[i, :, dh * h: dh * (h + 1)]           # [Sk, dh]
+            v = kv_ref[i, :, w + dh * h: w + dh * (h + 1)]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + bias_ref[:]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                (p / denom).astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[i, :, dh * h: dh * (h + 1)] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "gb", "heads",
+                                             "interpret"))
+def _packed_cross_pallas(q, kv, bias, scale: float, gb: int, heads: int,
+                         interpret: bool = False):
+    b, sq, w = q.shape
+    sk = kv.shape[1]
+    return pl.pallas_call(
+        functools.partial(_packed_cross_kernel, scale=scale, gb=gb,
+                          heads=heads, w=w),
+        out_shape=jax.ShapeDtypeStruct((b, sq, w), q.dtype),
+        grid=(b // gb,),
+        in_specs=[
+            pl.BlockSpec((gb, sq, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, sk, 2 * w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sq, sk), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, sq, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(q, kv, bias)
+
+
+def _packed_cross_ref(q, kv, bias, scale, heads):
+    b, sq, w = q.shape
+    sk = kv.shape[1]
+    dh = w // heads
+
+    def split(x):
+        return x.reshape(b, x.shape[1], heads, dh).transpose(0, 2, 1, 3)
+
+    o = _mha_ref(split(q), split(kv[..., :w]), split(kv[..., w:]),
+                 bias[None, None], scale)
+    return o.transpose(0, 2, 1, 3).reshape(b, sq, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _packed_cross_diff(q, kv, bias, scale, heads, gb, interpret):
+    return _packed_cross_pallas(q, kv, bias, scale, gb, heads, interpret)
+
+
+def _packed_cross_diff_fwd(q, kv, bias, scale, heads, gb, interpret):
+    return _packed_cross_diff(q, kv, bias, scale, heads, gb, interpret), \
+        (q, kv, bias)
+
+
+def _packed_cross_diff_bwd(scale, heads, gb, interpret, res, grad):
+    q, kv, bias = res
+    _, vjp = jax.vjp(
+        lambda q_, kv_, b_: _packed_cross_ref(q_, kv_, b_, scale, heads),
+        q, kv, bias)
+    return vjp(grad)
+
+
+_packed_cross_diff.defvjp(_packed_cross_diff_fwd, _packed_cross_diff_bwd)
+
+
+def packed_kv_cross_attention(
+    q: jnp.ndarray,
+    kv: jnp.ndarray,
+    heads: int,
+    *,
+    scale: float | None = None,
+    force_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Cross-attention straight from packed projection outputs.
+
+    q: [B, Sq, W] (query projection output); kv: [B, Sk, 2W] (k | v);
+    → [B, Sq, W]. The cross-attention sibling of
+    `packed_qkv_self_attention` for the fusion stack's MR cross-attention
+    (text queries → image keys, reference `models/fusion_model.py:44-47`)
+    and the RN50x4 attention-pool head: heads are sliced in VMEM, so the
+    [B,H,S,Dh] operand layout never materializes. Differentiable
+    (XLA-ref backward). Dropout-bearing callers use the XLA path
+    (`multi_head_attention`)."""
+    b, sq, w = q.shape
+    dh = w // heads
+    if scale is None:
+        scale = dh ** -0.5
+    bias = jnp.zeros((sq, kv.shape[1]), jnp.float32)
+    if force_pallas is None:
+        pick = use_pallas() and dh == 64 and w % 128 == 0 and b * heads >= 64
+    else:
+        pick = force_pallas
+    if not pick:
+        return _packed_cross_ref(q, kv, bias, scale, heads)
+    return _packed_cross_diff(q, kv, bias, scale, heads, 1, interpret)
+
+
 def _qkv_fused_kernel(x_ref, w_ref, b_ref, bias_ref, out_ref, *,
                       scale: float, heads: int, w: int):
     dh = w // heads

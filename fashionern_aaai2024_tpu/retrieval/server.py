@@ -76,10 +76,11 @@ class RetrievalService:
             preds = self.api.query(ref_feats, ref_patch, tg, tseq)
             scores, idx = self.index.search(preds, k=min(k, self.gallery_size))
         latency = time.time() - t0
-        self.request_count += 1
-        self._latencies.append(latency)
-        if len(self._latencies) > 10_000:
-            del self._latencies[:5_000]
+        with self._lock:
+            self.request_count += 1
+            self._latencies.append(latency)
+            if len(self._latencies) > 10_000:
+                del self._latencies[:5_000]
         names = np.asarray(self.gallery.names, dtype=object)
         out = []
         for q in range(len(ref_names)):
@@ -90,14 +91,16 @@ class RetrievalService:
         return out, latency
 
     def stats(self) -> dict:
-        lat = sorted(self._latencies)
+        with self._lock:
+            count = self.request_count
+            lat = sorted(self._latencies)
 
         def pct(p):
             return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2) \
                 if lat else None
 
         return {
-            "requests": self.request_count,
+            "requests": count,
             "gallery_size": self.gallery_size,
             "startup_seconds": round(self.startup_seconds, 2),
             "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
@@ -134,7 +137,8 @@ def _make_handler(service: RetrievalService):
             try:  # request shape errors → 400
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                if "ref_names" in req:
+                batch = "ref_names" in req
+                if batch:
                     refs = list(req["ref_names"])
                     caps = list(req["captions"])
                 else:
@@ -153,7 +157,7 @@ def _make_handler(service: RetrievalService):
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._send(200, {
-                "results": results[0] if "ref_name" in req else results,
+                "results": results if batch else results[0],
                 "latency_ms": round(latency * 1e3, 2),
             })
 

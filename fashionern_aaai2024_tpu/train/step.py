@@ -78,9 +78,19 @@ def build_train_step(
     stats riding ICI. "local" negatives are then simply per-shard BBC —
     exactly the reference's per-rank DDP semantics, no reshape needed.
     Without a mesh the GSPMD path is kept (single chip / tests)."""
-    method = forward if forward is not None else model.train_forward
-
     use_shard_map = mesh is not None and mesh.devices.size > 1
+    if (use_shard_map and negatives == "local"
+            and local_groups not in (1, mesh.devices.size)):
+        # Under shard_map the negative groups ARE the mesh shards;
+        # honoring a different local_groups silently would change the
+        # loss semantics (e.g. 8-process DDP parity asked of a 4-chip
+        # mesh). Fail loudly instead.
+        raise ValueError(
+            f"negatives='local' with local_groups={local_groups} on a "
+            f"{mesh.devices.size}-device mesh: shard_map uses per-shard "
+            "negatives, so local_groups must equal the mesh size (or 1)."
+        )
+    method = forward if forward is not None else model.train_forward
 
     def loss_fn(ern_params, state: CIRTrainState, batch: dict, rng):
         variables = {"params": {"clip": state.clip_params, "ern": ern_params}}

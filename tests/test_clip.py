@@ -226,7 +226,8 @@ class TestTokenizerOracle:
     def test_hf_clip_tokenizer_id_parity(self, tmp_path):
         import json as _json
 
-        from transformers import CLIPTokenizer
+        transformers = pytest.importorskip("transformers")
+        CLIPTokenizer = transformers.CLIPTokenizer
 
         from fashionern_aaai2024_tpu.models.clip.tokenizer import (
             SimpleTokenizer, bytes_to_unicode,

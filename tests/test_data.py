@@ -374,3 +374,25 @@ class TestProcessWorkers:
                           worker_type="process"))
         assert [b["x"][:, 0].tolist() for b in out] == [
             [0, 1, 2], [3, 4, 5], [6]]
+
+    def test_concurrent_process_loaders_raise(self):
+        """Two process-type Loaders iterating at once would hand
+        late-forked workers the wrong fork-inherited dataset; the second
+        must fail loudly instead (ADVICE r2)."""
+        from fashionern_aaai2024_tpu.data.loader import Loader
+
+        class Tiny:
+            def __getitem__(self, i):
+                return {"x": np.full((2,), i, np.float32)}
+
+            def __len__(self):
+                return 7
+
+        first = iter(Loader(Tiny(), 2, num_workers=2, worker_type="process"))
+        next(first)  # mid-iteration: lock held
+        second = Loader(Tiny(), 2, num_workers=2, worker_type="process")
+        with pytest.raises(RuntimeError, match="process-type Loader"):
+            next(iter(second))
+        # draining the first releases the lock; a new one then works
+        list(first)
+        assert len(list(second)) == 4

@@ -492,3 +492,79 @@ class TestAttentionSubblock:
         for a, c in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=2e-5, rtol=1e-4)
+
+
+class TestMlpSubblock:
+    """Whole MLP sub-block kernel (LN + c_fc + act + c_proj + residual):
+    interpret-mode exactness, fallback equivalence, chunked hidden axis,
+    and full gradient parity."""
+
+    def _inputs(self, b=2, s=18, w=128, f=512, seed=7):
+        g = np.random.default_rng(seed)
+        return (jnp.asarray(g.standard_normal((b, s, w)), jnp.float32),
+                jnp.asarray(1 + 0.1 * g.standard_normal((w,)), jnp.float32),
+                jnp.asarray(0.1 * g.standard_normal((w,)), jnp.float32),
+                jnp.asarray(g.standard_normal((w, f)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((f,)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((f, w)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((w,)) * 0.05, jnp.float32))
+
+    @pytest.mark.parametrize("activation", ["quick_gelu", "gelu"])
+    def test_matches_ref(self, activation):
+        from fashionern_aaai2024_tpu.ops.mlp import _mlp_ref, mlp_subblock
+
+        args = self._inputs()
+        got = mlp_subblock(*args, activation=activation,
+                           force_pallas=True, interpret=True)
+        want = _mlp_ref(*args, activation, 1e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_chunked_hidden_matches_unchunked(self):
+        """splits>1 (the production W=768/F=3072 shape) accumulates the
+        same result as one chunk."""
+        from fashionern_aaai2024_tpu.ops.mlp import _mlp_diff, _mlp_ref
+
+        args = self._inputs(f=512)
+        a = _mlp_diff(*args, "quick_gelu", 1e-5, 1, 1, True)
+        b = _mlp_diff(*args, "quick_gelu", 1e-5, 4, 1, True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        want = _mlp_ref(*args, "quick_gelu", 1e-5)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(want), atol=2e-5)
+        # grouped rows (gb>1): same function
+        c = _mlp_diff(*args, "quick_gelu", 1e-5, 2, 2, True)
+        np.testing.assert_allclose(np.asarray(c), np.asarray(want), atol=2e-5)
+
+    def test_fallback_matches_kernel(self):
+        from fashionern_aaai2024_tpu.ops.mlp import mlp_subblock
+
+        args = self._inputs()
+        a = mlp_subblock(*args, force_pallas=True, interpret=True)
+        b = mlp_subblock(*args, force_pallas=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_pick_splits(self):
+        from fashionern_aaai2024_tpu.ops.mlp import _pick_splits
+
+        assert _pick_splits(3072) == 2      # ViT-B trunk: 2×1536
+        assert _pick_splits(2048) == 2      # text tower: 2×1024
+        assert _pick_splits(1536) == 1
+        assert _pick_splits(512) == 1
+
+    def test_grad_matches(self):
+        from fashionern_aaai2024_tpu.ops.mlp import _mlp_ref, mlp_subblock
+
+        args = self._inputs(b=2, s=10)
+
+        def lp(*a):
+            o = mlp_subblock(*a, force_pallas=True, interpret=True)
+            return jnp.sum(jnp.tanh(o))
+
+        def lr(*a):
+            return jnp.sum(jnp.tanh(_mlp_ref(*a, "quick_gelu", 1e-5)))
+
+        gp = jax.grad(lp, argnums=tuple(range(7)))(*args)
+        gr = jax.grad(lr, argnums=tuple(range(7)))(*args)
+        for a, c in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=2e-5, rtol=1e-4)

@@ -150,3 +150,12 @@ class TestHTTP:
         assert data["requests"] >= 1
         assert data["gallery_size"] == 12
         assert data["latency_ms"]["p50"] is not None
+
+    def test_batch_with_stray_ref_name_stays_batch(self, base_url):
+        """A request with BOTH ref_names and a stray ref_name key runs
+        the batch query; the response shape must key on the same
+        condition (ADVICE r2: it used to unwrap results[0])."""
+        data = _post(f"{base_url}/query",
+                     {"ref_names": ["img1", "img2"], "ref_name": "img1",
+                      "captions": ["a", "b"], "k": 3})
+        assert len(data["results"]) == 2 and len(data["results"][0]) == 3

@@ -582,3 +582,20 @@ class TestShardMapTrainStep:
         np.testing.assert_allclose(np.asarray(outs["gspmd"][1]),
                                    np.asarray(outs["shard_map"][1]),
                                    atol=1e-6)
+
+
+class TestShardMapLocalGroupsGuard:
+    def test_mismatched_local_groups_raise(self):
+        """negatives='local' under shard_map uses per-shard groups; a
+        local_groups that matches neither 1 nor the mesh size must fail
+        loudly (ADVICE r2) instead of silently changing loss semantics."""
+        import optax
+
+        from fashionern_aaai2024_tpu.train.step import build_train_step
+
+        mesh = meshlib.create_mesh(4)
+        with pytest.raises(ValueError, match="local_groups"):
+            build_train_step(
+                object(), optax.sgd(1e-3), negatives="local",
+                local_groups=8, mesh=mesh,
+            )
