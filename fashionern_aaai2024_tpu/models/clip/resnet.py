@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from fashionern_aaai2024_tpu.models.clip.config import VisionConfig
-from fashionern_aaai2024_tpu.ops.attention import multi_head_attention
+from fashionern_aaai2024_tpu.ops.attention import packed_kv_cross_attention
 
 
 class BNRelu(nn.Module):
@@ -89,13 +89,11 @@ class AttentionPool2d(nn.Module):
         q = nn.Dense(self.embed_dim, name="q_proj")(x[:, :1])
         k = nn.Dense(self.embed_dim, name="k_proj")(x)
         v = nn.Dense(self.embed_dim, name="v_proj")(x)
-        h, hd = self.num_heads, self.embed_dim // self.num_heads
-
-        def split(t):
-            return t.reshape(b, t.shape[1], h, hd).transpose(0, 2, 1, 3)
-
-        o = multi_head_attention(split(q), split(k), split(v))
-        o = o.transpose(0, 2, 1, 3).reshape(b, 1, self.embed_dim)
+        # packed cross-attention tier: k|v in one [B, S+1, 2E] tensor,
+        # the 40 dh=64 heads sliced in VMEM (RN50x4: E=2560; Pallas on
+        # TPU, identical XLA formula elsewhere)
+        o = packed_kv_cross_attention(
+            q, jnp.concatenate([k, v], axis=-1), self.num_heads)
         c_proj = nn.Dense(self.output_dim, name="c_proj")
         pooled = c_proj(o)[:, 0]
         # joint-space per-region features (value path) — see module docstring

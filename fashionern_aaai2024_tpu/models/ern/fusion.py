@@ -29,7 +29,9 @@ from fashionern_aaai2024_tpu.models.ern.layers import (
     torch_normalize,
     xavier_uniform,
 )
-from fashionern_aaai2024_tpu.ops.attention import multi_head_attention
+from fashionern_aaai2024_tpu.ops.attention import (
+    fused_qkv_self_attention, multi_head_attention,
+)
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
 
 # HF BertConfig defaults that the reference inherits implicitly by only
@@ -110,6 +112,21 @@ class VisualSR(nn.Module):
         return sr_l2norm(new_global)
 
 
+class _BertDense(nn.Module):
+    """Param holder with nn.Dense's tree names/init (kernel [in,out],
+    bias) — the checkpoint tree is identical to the nn.Dense modules it
+    replaces, but the raw kernels are accessible for packed-QKV fusion."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_features, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class BertLayer(nn.Module):
     hidden: int
     heads: int
@@ -120,19 +137,32 @@ class BertLayer(nn.Module):
         head_dim = d // h
         b, s, _ = x.shape
 
-        def split_heads(t):
-            return t.reshape(b, s, h, head_dim).transpose(0, 2, 1, 3)
+        # separate q/k/v param trees (HF BertSelfAttention layout) whose
+        # kernels concatenate into one packed projection at eval
+        wq, bq = _BertDense(d, d, name="query")()
+        wk, bk = _BertDense(d, d, name="key")()
+        wv, bv = _BertDense(d, d, name="value")()
+        if deterministic:
+            # dropout off → the packed-QKV tier applies: one projection
+            # matmul, heads sliced in VMEM (fp32-exact Pallas kernel at
+            # dh=64 on TPU, identical XLA formula elsewhere) — the
+            # [B,H,S,Dh] operand layout never materializes
+            w_qkv = jnp.concatenate([wq, wk, wv], axis=1)
+            b_qkv = jnp.concatenate([bq, bk, bv])
+            ctx = fused_qkv_self_attention(x, w_qkv, b_qkv, h)
+        else:
+            def split_heads(t):
+                return t.reshape(b, s, h, head_dim).transpose(0, 2, 1, 3)
 
-        q = split_heads(nn.Dense(d, name="query")(x))
-        k = split_heads(nn.Dense(d, name="key")(x))
-        v = split_heads(nn.Dense(d, name="value")(x))
-        rng = None if deterministic else self.make_rng("dropout")
-        ctx = multi_head_attention(
-            q, k, v,
-            dropout_rate=0.0 if deterministic else BERT_DROPOUT,
-            dropout_rng=rng,
-        )
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+            q = split_heads(x @ wq + bq)
+            k = split_heads(x @ wk + bk)
+            v = split_heads(x @ wv + bv)
+            ctx = multi_head_attention(
+                q, k, v,
+                dropout_rate=BERT_DROPOUT,
+                dropout_rng=self.make_rng("dropout"),
+            )
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
         attn_out = nn.Dense(d, name="attn_output")(ctx)
         attn_out = nn.Dropout(BERT_DROPOUT, deterministic=deterministic)(attn_out)
         x = self._ln(x + attn_out, "attn_ln")

@@ -60,19 +60,32 @@ class TorchMultiheadAttention(nn.Module):
         def proj(x, w, b):
             return jnp.einsum("bsd,od->bso", x, w) + b
 
-        def split_heads(x):  # [B,S,d] -> [B,H,S,hd]
-            b_, s_, _ = x.shape
-            return x.reshape(b_, s_, h, head_dim).transpose(0, 2, 1, 3)
+        if deterministic or self.dropout == 0.0:
+            # dropout off → packed cross-attention tier: k|v packed into
+            # one [B,Sk,2d] tensor, heads sliced in VMEM (Pallas at
+            # dh=64 on TPU, identical XLA formula elsewhere)
+            from fashionern_aaai2024_tpu.ops.attention import (
+                packed_kv_cross_attention,
+            )
 
-        q = split_heads(proj(query, wq, bq))
-        k = split_heads(proj(key, wk, bk))
-        v = split_heads(proj(value, wv, bv))
-        rng = None if deterministic or self.dropout == 0.0 else self.make_rng("dropout")
-        o = multi_head_attention(
-            q, k, v, dropout_rate=0.0 if deterministic else self.dropout, dropout_rng=rng
-        )
-        b_, _, sq, _ = o.shape
-        o = o.transpose(0, 2, 1, 3).reshape(b_, sq, d)
+            q_p = proj(query, wq, bq)
+            kv = jnp.concatenate(
+                [proj(key, wk, bk), proj(value, wv, bv)], axis=-1)
+            o = packed_kv_cross_attention(q_p, kv, h)
+        else:
+            def split_heads(x):  # [B,S,d] -> [B,H,S,hd]
+                b_, s_, _ = x.shape
+                return x.reshape(b_, s_, h, head_dim).transpose(0, 2, 1, 3)
+
+            q = split_heads(proj(query, wq, bq))
+            k = split_heads(proj(key, wk, bk))
+            v = split_heads(proj(value, wv, bv))
+            o = multi_head_attention(
+                q, k, v, dropout_rate=self.dropout,
+                dropout_rng=self.make_rng("dropout"),
+            )
+            b_, _, sq, _ = o.shape
+            o = o.transpose(0, 2, 1, 3).reshape(b_, sq, d)
         out = nn.Dense(d, name="out_proj")(o)
         return out
 

@@ -224,8 +224,12 @@ def packed_qkv_self_attention(
     )
     if force_pallas is None:
         # dh=64 covers both CLIP towers (768/12, 512/8); larger batches
-        # amortize; tiny workloads stay on XLA
-        pick = use_pallas() and dh == 64 and w % 128 == 0 and b * heads >= 64
+        # amortize; tiny workloads stay on XLA. s>=128: at tower S=197
+        # the kernel wins (1.65 vs ~2.0 ms/layer in-model, r2 ledger);
+        # at the fusion mini-BERT's S=91 XLA wins by ~1.5% (r3 ledger:
+        # DVR d=512 B=256, 8.77 ms XLA vs 8.90 kernel).
+        pick = (use_pallas() and dh == 64 and w % 128 == 0
+                and b * heads >= 64 and s >= 128)
     else:
         pick = force_pallas
     if not pick:
@@ -338,7 +342,15 @@ def packed_kv_cross_attention(
         scale = dh ** -0.5
     bias = jnp.zeros((sq, kv.shape[1]), jnp.float32)
     if force_pallas is None:
-        pick = use_pallas() and dh == 64 and w % 128 == 0 and b * heads >= 64
+        # Measured, final position (r3 ledger, v5e): at every current
+        # cross-attention site the sequences are tiny (DVR Sq=77/Sk=13,
+        # RN attnpool Sq=1/Sk=82) and XLA wins or ties — attnpool module
+        # A/B: B=64 kernel 2.88 vs XLA 3.03 ms (kernel +5%), B=128
+        # kernel 4.56 vs XLA 3.48 ms (XLA +31%); DVR-level deltas are
+        # inside chip noise. Production batches are ≥128, so the XLA
+        # formula is the dispatch; the kernel stays for force_pallas
+        # benchmarking and future long-seq cross shapes.
+        pick = False
     else:
         pick = force_pallas
     if not pick:

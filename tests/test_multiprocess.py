@@ -1,0 +1,23 @@
+"""Multi-PROCESS distributed bring-up (the process boundary the
+single-process virtual mesh cannot exercise): coordinator rendezvous,
+gloo collectives, per-process batch assembly, loss parity.
+
+Reference capability being matched: the 8-process NCCL TCP launch at
+/root/reference/run/train/train_fiq.py:210-227."""
+
+import pytest
+
+
+@pytest.mark.slow
+def test_two_process_loss_matches_single_process():
+    from fashionern_aaai2024_tpu.parallel.multiprocess import (
+        launch_cpu_simulation,
+    )
+
+    out = launch_cpu_simulation(num_processes=2, devices_per_process=4,
+                                port=12931)
+    # launch_cpu_simulation already asserts |Δloss| ≤ 1e-5; pin the
+    # observed behavior (bit-identical on CPU) loosely here
+    assert out["devices"] == 8
+    assert out["multiprocess_loss"] == pytest.approx(
+        out["single_process_loss"], abs=1e-5)

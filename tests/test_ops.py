@@ -568,3 +568,52 @@ class TestMlpSubblock:
         for a, c in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=2e-5, rtol=1e-4)
+
+
+class TestPackedCrossAttention:
+    """Packed-KV cross-attention kernel: interpret-mode exactness vs the
+    [B,H,S,Dh] reference, Sq=1 (attnpool) shape, and gradient parity."""
+
+    def _inputs(self, b=2, sq=7, sk=13, heads=2, dh=64, seed=3):
+        g = np.random.default_rng(seed)
+        w = heads * dh
+        q = jnp.asarray(g.standard_normal((b, sq, w)), jnp.float32)
+        kv = jnp.asarray(g.standard_normal((b, sk, 2 * w)), jnp.float32)
+        return q, kv
+
+    @pytest.mark.parametrize("sq", [1, 7])
+    def test_matches_ref(self, sq):
+        from fashionern_aaai2024_tpu.ops.attention import (
+            _packed_cross_ref, packed_kv_cross_attention,
+        )
+
+        q, kv = self._inputs(sq=sq)
+        got = packed_kv_cross_attention(q, kv, 2, force_pallas=True,
+                                        interpret=True)
+        bias = jnp.zeros((sq, kv.shape[1]), jnp.float32)
+        want = _packed_cross_ref(q, kv, bias, 64 ** -0.5, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_grad_matches(self):
+        from fashionern_aaai2024_tpu.ops.attention import (
+            _packed_cross_ref, packed_kv_cross_attention,
+        )
+
+        q, kv = self._inputs()
+        bias = jnp.zeros((q.shape[1], kv.shape[1]), jnp.float32)
+
+        def lp(q_, kv_):
+            o = packed_kv_cross_attention(q_, kv_, 2, force_pallas=True,
+                                          interpret=True)
+            return jnp.sum(jnp.tanh(o))
+
+        def lr(q_, kv_):
+            return jnp.sum(jnp.tanh(
+                _packed_cross_ref(q_, kv_, bias, 64 ** -0.5, 2)))
+
+        gp = jax.grad(lp, argnums=(0, 1))(q, kv)
+        gr = jax.grad(lr, argnums=(0, 1))(q, kv)
+        for a, c in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=2e-5, rtol=1e-4)
