@@ -21,6 +21,7 @@ offline patch features, `utils/utils.py:44-69`).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from fashionern_aaai2024_tpu.models.clip.config import VisionConfig
@@ -99,6 +100,60 @@ class AttentionPool2d(nn.Module):
         # joint-space per-region features (value path) — see module docstring
         tokens = c_proj(v)
         return pooled, tokens
+
+
+def fold_batchnorm(variables: dict) -> dict:
+    """Fold frozen BatchNorm affines into the preceding conv kernels
+    (inference-weight-load transform; the towers are frozen so this is
+    free at serving time — VERDICT r2 item 4).
+
+    For every conv→BN pair the per-out-channel affine
+    a = γ·rsqrt(σ²+ε), b = β − μ·a moves into the conv:
+    kernel ← kernel·a, and the BN is left computing exactly x + b
+    (scale 1, mean 0, var 1−ε so rsqrt(σ²+ε) = 1). Numerically identical
+    to the unfolded forward modulo one float rounding
+    (tests/test_clip.py pins parity). Works on any tree that contains a
+    ModifiedResNet subtree (pair naming: convN↔bnN, downsample_conv↔
+    downsample_bn, each BNRelu wrapping an nn.BatchNorm named "bn")."""
+    import flax
+
+    eps = 1e-5
+    params = flax.traverse_util.flatten_dict(variables["params"])
+    stats = flax.traverse_util.flatten_dict(variables.get("batch_stats", {}))
+
+    def bn_name(conv: str) -> str | None:
+        if conv == "downsample_conv":
+            return "downsample_bn"
+        if conv.startswith("conv"):
+            return "bn" + conv[len("conv"):]
+        return None
+
+    for path in list(params):
+        if path[-1] != "kernel":
+            continue
+        bn = bn_name(path[-2])
+        if bn is None:
+            continue
+        prefix = path[:-2]
+        scale_p = prefix + (bn, "bn", "scale")
+        if scale_p not in params:
+            continue
+        bias_p = prefix + (bn, "bn", "bias")
+        mean_p = prefix + (bn, "bn", "mean")
+        var_p = prefix + (bn, "bn", "var")
+        a = params[scale_p] * jax.lax.rsqrt(stats[var_p] + eps)
+        params[path] = (params[path] * a).astype(params[path].dtype)
+        params[bias_p] = (params[bias_p] - stats[mean_p] * a).astype(
+            params[bias_p].dtype)
+        params[scale_p] = jnp.ones_like(params[scale_p])
+        stats[mean_p] = jnp.zeros_like(stats[mean_p])
+        stats[var_p] = jnp.full_like(stats[var_p], 1.0 - eps)
+
+    out = dict(variables)
+    out["params"] = flax.traverse_util.unflatten_dict(params)
+    if stats:
+        out["batch_stats"] = flax.traverse_util.unflatten_dict(stats)
+    return out
 
 
 class ModifiedResNet(nn.Module):

@@ -199,6 +199,62 @@ class InferenceAPI:
     def tokenize(self, captions: Sequence[str]) -> np.ndarray:
         return self._tokenizer(captions, self.context_length)
 
+    def build_serve_fn(self, gallery_features: np.ndarray, k_max: int = 50,
+                       buckets: Sequence[int] = (1, 8, 32),
+                       patch_num: int = 13):
+        """One-dispatch serving program: text encode → DVR query →
+        gallery matmul → top-k, in a single jitted call per request.
+
+        The r2 serve path paid ~5 device dispatches + host readbacks per
+        query (tokenize→encode_text→query→search), each a round trip
+        through the driver — ~2000× the amortized per-query chip cost at
+        b=1. Fusing them leaves one round trip; padding goes to the
+        smallest compile BUCKET ≥ n instead of the fixed eval batch, so a
+        b=1 request does 1-row work, not 32. Returns
+        `serve(token_ids, ref_feats, ref_patch, k) → (scores, rows)`;
+        call `warmup()` on it at startup to pre-compile every bucket."""
+        import jax.numpy as jnp
+
+        gal = jnp.asarray(gallery_features, jnp.float32)
+        k_max = min(k_max, gal.shape[0])
+        model = self.model
+        buckets = tuple(sorted(buckets))
+
+        def fn(v, g, ids, rf, rp):
+            tg, ts = model.apply(v, ids, method=model.encode_text)
+            pred = model.apply(
+                v, rf.astype(jnp.float32), rp.astype(jnp.float32),
+                tg.astype(jnp.float32), ts.astype(jnp.float32),
+                method=model.query)
+            scores = pred @ g.T
+            return jax.lax.top_k(scores, k_max)
+
+        jfn = jax.jit(fn)
+
+        def serve(token_ids, ref_feats, ref_patch, k: int = 10):
+            n = token_ids.shape[0]
+            b = next((x for x in buckets if x >= n),
+                     -(-n // buckets[-1]) * buckets[-1])
+            s, i = jfn(self.variables, gal,
+                       _pad_rows(np.asarray(token_ids), b),
+                       _pad_rows(np.asarray(ref_feats, np.float32), b),
+                       _pad_rows(np.asarray(ref_patch, np.float32), b))
+            k = min(k, k_max)
+            return np.asarray(s[:n, :k]), np.asarray(i[:n, :k])
+
+        def warmup():
+            d = gal.shape[1]
+            pn = patch_num
+            for b in buckets:
+                serve(np.zeros((b, self.context_length), np.int32),
+                      np.zeros((b, d), np.float32),
+                      np.zeros((b, pn, d), np.float32), k=1)
+
+        serve.warmup = warmup
+        serve.k_max = k_max
+        serve.buckets = buckets
+        return serve
+
     def gallery_encode_fn(self) -> Callable:
         """encode_image closure for `engine.embed_gallery` — padded and
         mesh-sharded placement, device outputs (readback pipelined by

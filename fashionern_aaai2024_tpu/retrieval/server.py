@@ -37,7 +37,7 @@ class RetrievalService:
     """Gallery-resident composed retrieval around an InferenceAPI."""
 
     def __init__(self, api: E.InferenceAPI, classic_loader,
-                 caption_join=None):
+                 caption_join=None, warmup: bool = True):
         self.api = api
         t0 = time.time()
         gallery = embed_gallery(api.gallery_encode_fn(), classic_loader,
@@ -47,6 +47,13 @@ class RetrievalService:
         self.index = RetrievalIndex(gallery.names, refined,
                                     quantize=api.quantize_gallery)
         self.rows = E.last_wins_rows(gallery.names)
+        # one-dispatch serving program with small-batch compile buckets
+        # (r3 latency pass: text encode → query → gallery matmul → top-k
+        # in a single jitted call; b=1 requests do 1-row work)
+        self._serve_fn = api.build_serve_fn(
+            refined, patch_num=gallery.local_features.shape[1])
+        if warmup:
+            self._serve_fn.warmup()
         self.startup_seconds = time.time() - t0
         self.caption_join = caption_join or (lambda c: c)
         self._lock = threading.Lock()
@@ -68,13 +75,19 @@ class RetrievalService:
         t0 = time.time()
         caps = [self.caption_join(c) for c in captions]
         rows = np.asarray([self.rows[r] for r in ref_names])
+        k_eff = min(k, self.gallery_size)
         with self._lock:
             ids = self.api.tokenize(caps)
-            tg, tseq = self.api.encode_text(ids)
             ref_feats = self.gallery.features[rows]
             ref_patch = self.gallery.local_features[rows]
-            preds = self.api.query(ref_feats, ref_patch, tg, tseq)
-            scores, idx = self.index.search(preds, k=min(k, self.gallery_size))
+            if k_eff <= self._serve_fn.k_max:
+                # fast path: ONE device dispatch for the whole query
+                scores, idx = self._serve_fn(ids, ref_feats, ref_patch,
+                                             k=k_eff)
+            else:  # large-k fallback: the multi-dispatch eval path
+                tg, tseq = self.api.encode_text(ids)
+                preds = self.api.query(ref_feats, ref_patch, tg, tseq)
+                scores, idx = self.index.search(preds, k=k_eff)
         latency = time.time() - t0
         with self._lock:
             self.request_count += 1

@@ -294,3 +294,43 @@ class TestTokenizerOracle:
             while row and row[-1] == 0:
                 row.pop()
             assert row == want, f"real-table id mismatch on {text!r}"
+
+
+class TestBatchNormFold:
+    def test_folded_forward_matches(self, rng):
+        """fold_batchnorm is numerically identical (inference mode) —
+        the RN50x4 serving-pass transform (BASELINE.md r3 RN ledger)."""
+        from fashionern_aaai2024_tpu.models.clip.config import VisionConfig
+        from fashionern_aaai2024_tpu.models.clip.resnet import (
+            ModifiedResNet, fold_batchnorm,
+        )
+
+        import jax
+
+        cfg = VisionConfig(kind="resnet", image_size=32, embed_dim=24,
+                           width=16, layers=(1, 1, 1, 1), heads=2)
+        m = ModifiedResNet(cfg)
+        x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        # non-trivial BN stats (fresh init is mean 0 / var 1 — folding
+        # would be trivially identity-ish)
+        import flax
+
+        stats = flax.traverse_util.flatten_dict(v["batch_stats"])
+        g = np.random.default_rng(5)
+        stats = {k: jnp.asarray(np.abs(g.standard_normal(s.shape)) + 0.5,
+                                np.float32) if k[-1] == "var"
+                 else jnp.asarray(g.standard_normal(s.shape), np.float32)
+                 for k, s in stats.items()}
+        v = {"params": v["params"],
+             "batch_stats": flax.traverse_util.unflatten_dict(stats)}
+
+        want_pooled, want_tokens = m.apply(v, x)
+        folded = fold_batchnorm(v)
+        got_pooled, got_tokens = m.apply(folded, x)
+        np.testing.assert_allclose(np.asarray(got_pooled),
+                                   np.asarray(want_pooled),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_tokens),
+                                   np.asarray(want_tokens),
+                                   atol=1e-4, rtol=1e-4)

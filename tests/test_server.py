@@ -159,3 +159,33 @@ class TestHTTP:
                      {"ref_names": ["img1", "img2"], "ref_name": "img1",
                       "captions": ["a", "b"], "k": 3})
         assert len(data["results"]) == 2 and len(data["results"][0]) == 3
+
+
+class TestServeFn:
+    def test_buckets_consistent_and_match_search(self, service):
+        """The fused one-dispatch serve program returns the same top-k
+        at every compile bucket, and matches the blocked-search path."""
+        import numpy as np
+
+        api = service.api
+        fn = service._serve_fn
+        ids = api.tokenize(["with a belt", "longer and red", "plain"])
+        rows = np.asarray([2, 5, 7])
+        rf = service.gallery.features[rows]
+        rp = service.gallery.local_features[rows]
+        s3, i3 = fn(ids, rf, rp, k=5)              # bucket 8
+        s1, i1 = fn(ids[:1], rf[:1], rp[:1], k=5)  # bucket 1
+        np.testing.assert_array_equal(i3[:1], i1)
+        np.testing.assert_allclose(s3[:1], s1, atol=1e-5)
+        # vs the multi-dispatch eval path
+        tg, ts = api.encode_text(ids)
+        preds = api.query(rf, rp, tg, ts)
+        sw, iw = service.index.search(preds, k=5)
+        np.testing.assert_array_equal(i3, iw)
+        np.testing.assert_allclose(s3, sw, atol=1e-4)
+
+    def test_large_k_falls_back(self, service):
+        out, _ = service.query(["img1"], ["anything bigger"],
+                               k=service._serve_fn.k_max + 10)
+        # gallery_size caps k; just verify the fallback executes
+        assert len(out[0]) == service.gallery_size
