@@ -81,28 +81,18 @@ def main():
         print(f"C. pooled-only folded-BN B={B}: {t*1e3:.2f} ms "
               f"({B/t:.0f} img/s)", flush=True)
 
-    # D. region split at B=128 — run the stem / stages by re-applying
-    # the module's submodules through a surgical forward
-    def stem_only(v_, x_):
-        def body(mdl, x):
-            import flax.linen as nn
-            w = mdl.config.width
-            x = nn.Conv(w // 2, (3, 3), strides=2, padding=1, use_bias=False,
-                        name="conv1")(x)
-            x = R.BNRelu(name="bn1")(x)
-            x = nn.Conv(w // 2, (3, 3), padding=1, use_bias=False,
-                        name="conv2")(x)
-            x = R.BNRelu(name="bn2")(x)
-            x = nn.Conv(w, (3, 3), padding=1, use_bias=False, name="conv3")(x)
-            x = R.BNRelu(name="bn3")(x)
-            return R._avg_pool(x, 2)
-
-        return m.apply(v_, x_, method=body)
-
-    f = jax.jit(stem_only)
+    # D. region split at B=128: conv stack = pooled-only minus attnpool
+    # (flax compact modules can't be re-entered with a surgical method,
+    # so the split is by differencing); plus XLA's own FLOP count for an
+    # honest achieved-TF/s figure
     xb = jnp.asarray(x32[:128], jnp.bfloat16)
-    t = timeit(f, vb, xb)
-    print(f"D. stem-only B=128: {t*1e3:.2f} ms", flush=True)
+    comp = enc_pooled.lower(vb, xb).compile()
+    ca = comp.cost_analysis()
+    flops = (ca[0] if isinstance(ca, (list, tuple)) else ca)["flops"]
+    t = timeit(enc_pooled, vb, xb)
+    print(f"D. pooled-only B=128: {t*1e3:.2f} ms, XLA-counted "
+          f"{flops/128/1e9:.2f} GF/img -> {flops/t/1e12:.1f} TF/s achieved",
+          flush=True)
 
     ap = R.AttentionPool2d(embed_dim=2560, num_heads=40, output_dim=640)
     xa = jnp.asarray(np.asarray(g.standard_normal((128, 9, 9, 2560)),

@@ -201,7 +201,9 @@ class InferenceAPI:
 
     def build_serve_fn(self, gallery_features: np.ndarray, k_max: int = 50,
                        buckets: Sequence[int] = (1, 8, 32),
-                       patch_num: int = 13):
+                       patch_num: int = 13,
+                       ref_features: np.ndarray | None = None,
+                       ref_patches: np.ndarray | None = None):
         """One-dispatch serving program: text encode → DVR query →
         gallery matmul → top-k, in a single jitted call per request.
 
@@ -212,15 +214,26 @@ class InferenceAPI:
         smallest compile BUCKET ≥ n instead of the fixed eval batch, so a
         b=1 request does 1-row work, not 32. Returns
         `serve(token_ids, ref_feats, ref_patch, k) → (scores, rows)`;
-        call `warmup()` on it at startup to pre-compile every bucket."""
+        With `ref_features`/`ref_patches` given (the service's gallery
+        arrays), the reference-row GATHER happens on-device too: the
+        request uploads token ids + int32 row indices only — two small
+        host→device transfers per query instead of four (measured 58.7 →
+        see BASELINE r3 serve ledger; per-transfer cost dominates at b=1
+        through the tunnel, and is pure overhead on any host).
+        `serve(token_ids, rows_or_feats, patch_or_none, k)`; call
+        `warmup()` on it at startup to pre-compile every bucket."""
         import jax.numpy as jnp
 
         gal = jnp.asarray(gallery_features, jnp.float32)
         k_max = min(k_max, gal.shape[0])
         model = self.model
         buckets = tuple(sorted(buckets))
+        by_rows = ref_features is not None
+        if by_rows:
+            ref_f = jnp.asarray(ref_features, jnp.float32)
+            ref_p = jnp.asarray(ref_patches, jnp.float32)
 
-        def fn(v, g, ids, rf, rp):
+        def body(v, g, ids, rf, rp):
             tg, ts = model.apply(v, ids, method=model.encode_text)
             pred = model.apply(
                 v, rf.astype(jnp.float32), rp.astype(jnp.float32),
@@ -229,30 +242,44 @@ class InferenceAPI:
             scores = pred @ g.T
             return jax.lax.top_k(scores, k_max)
 
-        jfn = jax.jit(fn)
+        if by_rows:
+            def fn(v, g, gf, gp, ids, rows):
+                return body(v, g, ids, gf[rows], gp[rows])
 
-        def serve(token_ids, ref_feats, ref_patch, k: int = 10):
+            jfn = jax.jit(fn)
+        else:
+            jfn = jax.jit(body)
+
+        def serve(token_ids, ref, ref_patch=None, k: int = 10):
             n = token_ids.shape[0]
             b = next((x for x in buckets if x >= n),
                      -(-n // buckets[-1]) * buckets[-1])
-            s, i = jfn(self.variables, gal,
-                       _pad_rows(np.asarray(token_ids), b),
-                       _pad_rows(np.asarray(ref_feats, np.float32), b),
-                       _pad_rows(np.asarray(ref_patch, np.float32), b))
+            ids = _pad_rows(np.asarray(token_ids), b)
+            if by_rows:
+                rows = np.zeros((b,), np.int32)
+                rows[:n] = np.asarray(ref, np.int32)
+                s, i = jfn(self.variables, gal, ref_f, ref_p, ids, rows)
+            else:
+                s, i = jfn(self.variables, gal, ids,
+                           _pad_rows(np.asarray(ref, np.float32), b),
+                           _pad_rows(np.asarray(ref_patch, np.float32), b))
             k = min(k, k_max)
             return np.asarray(s[:n, :k]), np.asarray(i[:n, :k])
 
         def warmup():
             d = gal.shape[1]
-            pn = patch_num
             for b in buckets:
-                serve(np.zeros((b, self.context_length), np.int32),
-                      np.zeros((b, d), np.float32),
-                      np.zeros((b, pn, d), np.float32), k=1)
+                ids = np.zeros((b, self.context_length), np.int32)
+                if by_rows:
+                    serve(ids, np.zeros((b,), np.int32), k=1)
+                else:
+                    serve(ids, np.zeros((b, d), np.float32),
+                          np.zeros((b, patch_num, d), np.float32), k=1)
 
         serve.warmup = warmup
         serve.k_max = k_max
         serve.buckets = buckets
+        serve.by_rows = by_rows
         return serve
 
     def gallery_encode_fn(self) -> Callable:

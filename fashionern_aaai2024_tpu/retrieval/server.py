@@ -49,9 +49,13 @@ class RetrievalService:
         self.rows = E.last_wins_rows(gallery.names)
         # one-dispatch serving program with small-batch compile buckets
         # (r3 latency pass: text encode → query → gallery matmul → top-k
-        # in a single jitted call; b=1 requests do 1-row work)
+        # in a single jitted call; b=1 requests do 1-row work). The
+        # gallery's raw features/patches live on-device so a request
+        # uploads only token ids + row indices.
         self._serve_fn = api.build_serve_fn(
-            refined, patch_num=gallery.local_features.shape[1])
+            refined, patch_num=gallery.local_features.shape[1],
+            ref_features=gallery.features,
+            ref_patches=gallery.local_features)
         if warmup:
             self._serve_fn.warmup()
         self.startup_seconds = time.time() - t0
@@ -78,13 +82,13 @@ class RetrievalService:
         k_eff = min(k, self.gallery_size)
         with self._lock:
             ids = self.api.tokenize(caps)
-            ref_feats = self.gallery.features[rows]
-            ref_patch = self.gallery.local_features[rows]
             if k_eff <= self._serve_fn.k_max:
-                # fast path: ONE device dispatch for the whole query
-                scores, idx = self._serve_fn(ids, ref_feats, ref_patch,
-                                             k=k_eff)
+                # fast path: ONE device dispatch for the whole query;
+                # the ref-row gather runs on-device
+                scores, idx = self._serve_fn(ids, rows, k=k_eff)
             else:  # large-k fallback: the multi-dispatch eval path
+                ref_feats = self.gallery.features[rows]
+                ref_patch = self.gallery.local_features[rows]
                 tg, tseq = self.api.encode_text(ids)
                 preds = self.api.query(ref_feats, ref_patch, tg, tseq)
                 scores, idx = self.index.search(preds, k=k_eff)

@@ -169,12 +169,13 @@ class TestServeFn:
 
         api = service.api
         fn = service._serve_fn
+        assert fn.by_rows  # service serve path gathers refs on-device
         ids = api.tokenize(["with a belt", "longer and red", "plain"])
         rows = np.asarray([2, 5, 7])
         rf = service.gallery.features[rows]
         rp = service.gallery.local_features[rows]
-        s3, i3 = fn(ids, rf, rp, k=5)              # bucket 8
-        s1, i1 = fn(ids[:1], rf[:1], rp[:1], k=5)  # bucket 1
+        s3, i3 = fn(ids, rows, k=5)          # bucket 8
+        s1, i1 = fn(ids[:1], rows[:1], k=5)  # bucket 1
         np.testing.assert_array_equal(i3[:1], i1)
         np.testing.assert_allclose(s3[:1], s1, atol=1e-5)
         # vs the multi-dispatch eval path
