@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from fashionern_aaai2024_tpu.ops.attention import (
     attention_subblock, multi_head_attention,
 )
+from fashionern_aaai2024_tpu.ops.block import transformer_block
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
 from fashionern_aaai2024_tpu.ops.mlp import mlp_subblock
 from fashionern_aaai2024_tpu.ops.qmatmul import int8_matmul
@@ -107,6 +108,20 @@ class ResidualAttentionBlock(nn.Module):
         )
         in_proj_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * w,))
         out_kernel, out_bias = _DenseParams(w, w, name="out_proj")()
+        if head_dim == 64 and w % 128 == 0 and not self.quantize_mlp:
+            # whole-block fusion tier: BOTH halves in one kernel when
+            # all four weight matrices fit VMEM (text tower W=512);
+            # wider towers fall back inside transformer_block to the
+            # attention + MLP sub-block kernel pair (ops/block.py)
+            ln2_scale, ln2_bias = _LNParams(w, name="ln_2")()
+            fc_kernel, fc_bias = _DenseParams(w, 4 * w, name="c_fc")()
+            proj_kernel, proj_bias = _DenseParams(4 * w, w, name="c_proj")()
+            return transformer_block(
+                x, ln1_scale, ln1_bias, in_proj_weight.T, in_proj_bias,
+                out_kernel, out_bias, ln2_scale, ln2_bias, fc_kernel,
+                fc_bias, proj_kernel, proj_bias, h, causal=self.causal,
+                activation=self.activation,
+            )
         if head_dim == 64 and w % 128 == 0:
             # LN + QKV projection + attention + out-projection +
             # residual in ONE kernel: neither the LN'd activations, the

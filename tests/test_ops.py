@@ -617,3 +617,76 @@ class TestPackedCrossAttention:
         for a, c in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=2e-5, rtol=1e-4)
+
+
+class TestTransformerBlockKernel:
+    """Whole-block kernel (both halves in one program): interpret-mode
+    exactness vs the composed sub-block references, causal masking,
+    grouped rows, and gradient parity."""
+
+    def _inputs(self, b=4, s=10, heads=2, dh=64, f=None, seed=11):
+        g = np.random.default_rng(seed)
+        w = heads * dh
+        f = f or 4 * w
+        mk = lambda *sh: jnp.asarray(g.standard_normal(sh) * 0.05, jnp.float32)
+        return (jnp.asarray(g.standard_normal((b, s, w)), jnp.float32),
+                mk(w) + 1, mk(w), mk(w, 3 * w), mk(3 * w), mk(w, w), mk(w),
+                mk(w) + 1, mk(w), mk(w, f), mk(f), mk(f, w), mk(w))
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_ref(self, causal):
+        from fashionern_aaai2024_tpu.ops.block import (
+            _block_ref, transformer_block,
+        )
+
+        args = self._inputs()
+        got = transformer_block(*args, 2, causal=causal,
+                                force_pallas=True, interpret=True)
+        s = args[0].shape[1]
+        bias = (jnp.where(jnp.tril(jnp.ones((s, s), bool)), 0.0, -1e30)
+                .astype(jnp.float32) if causal
+                else jnp.zeros((s, s), jnp.float32))
+        want = _block_ref(*args, bias, 64 ** -0.5, 2, 1e-5, "quick_gelu")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5)
+
+    def test_fallback_matches_kernel(self):
+        from fashionern_aaai2024_tpu.ops.block import transformer_block
+
+        args = self._inputs()
+        a = transformer_block(*args, 2, force_pallas=True, interpret=True)
+        b = transformer_block(*args, 2, force_pallas=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+    def test_grouped_rows_match(self):
+        from fashionern_aaai2024_tpu.ops.block import _block_diff
+
+        args = self._inputs(b=4)
+        s = args[0].shape[1]
+        bias = jnp.zeros((s, s), jnp.float32)
+        a = _block_diff(*args, bias, 64 ** -0.5, 2, 1e-5, "quick_gelu", 1, True)
+        b = _block_diff(*args, bias, 64 ** -0.5, 2, 1e-5, "quick_gelu", 4, True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+    def test_grad_matches(self):
+        from fashionern_aaai2024_tpu.ops.block import (
+            _block_ref, transformer_block,
+        )
+
+        args = self._inputs(b=2, s=6)
+        s = args[0].shape[1]
+        bias = jnp.zeros((s, s), jnp.float32)
+
+        def lp(*a):
+            o = transformer_block(*a, 2, force_pallas=True, interpret=True)
+            return jnp.sum(jnp.tanh(o))
+
+        def lr(*a):
+            o = _block_ref(*a, bias, 64 ** -0.5, 2, 1e-5, "quick_gelu")
+            return jnp.sum(jnp.tanh(o))
+
+        gp = jax.grad(lp, argnums=tuple(range(13)))(*args)
+        gr = jax.grad(lr, argnums=tuple(range(13)))(*args)
+        for a, c in zip(gp, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       atol=3e-5, rtol=1e-4)
