@@ -467,6 +467,9 @@ def run_info() -> dict:
             "enabled": use_pallas(),
             "self_attention_bf16": "whole-sub-block kernel (LN+qkv+attn+out_proj+residual)",
             "self_attention_fp32": "packed-QKV kernel (bit-exact vs XLA on-chip)",
+            "mlp_bf16": "MLP-sub-block kernel (LN+c_fc+act+c_proj+residual, r3)",
+            "whole_block": "built; measured tie vs sub-block pair — dispatch declined (r3 ledger)",
+            "fusion_and_cross_attention": "XLA by measurement (r3 ledger)",
             "bbc_loss": "fused forward + custom VJP",
             "int8_mlp_serving": "--quantize-towers",
             "kill_switch": "FASHIONERN_NO_PALLAS=1",

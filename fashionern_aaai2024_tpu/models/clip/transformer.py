@@ -20,6 +20,7 @@ from fashionern_aaai2024_tpu.ops.block import transformer_block
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
 from fashionern_aaai2024_tpu.ops.mlp import mlp_subblock
 from fashionern_aaai2024_tpu.ops.qmatmul import int8_matmul
+from fashionern_aaai2024_tpu.ops.qmlp import int8_mlp_subblock
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -148,12 +149,17 @@ class ResidualAttentionBlock(nn.Module):
             x = x + (o @ out_kernel.astype(o.dtype) + out_bias.astype(o.dtype))
 
         if self.quantize_mlp:
-            # int8 serving path keeps the module-based layout
-            y = LayerNorm(w, name="ln_2")(x)
-            y = MaybeQuantDense(4 * w, True, name="c_fc")(y)
-            y = get_activation(self.activation)(y)
-            x = x + MaybeQuantDense(w, True, name="c_proj")(y)
-            return x
+            # int8 serving path (--quantize-towers): LN + both int8
+            # matmuls + activation + residual fused into one kernel,
+            # int8 weights VMEM-resident (ops/qmlp.py; identical-
+            # semantics XLA fallback off-TPU)
+            ln2_scale, ln2_bias = _LNParams(w, name="ln_2")()
+            fc_kernel, fc_bias = _DenseParams(w, 4 * w, name="c_fc")()
+            proj_kernel, proj_bias = _DenseParams(4 * w, w, name="c_proj")()
+            return int8_mlp_subblock(
+                x, ln2_scale, ln2_bias, fc_kernel, fc_bias, proj_kernel,
+                proj_bias, activation=self.activation,
+            )
         # LN₂ + c_fc + activation + c_proj + residual in ONE kernel —
         # the MLP is 2/3 of the block's FLOPs and its HBM traffic
         # (hidden [B,S,4W] round-trips) set the r2 trunk's 126-vs-197

@@ -690,3 +690,42 @@ class TestTransformerBlockKernel:
         for a, c in zip(gp, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=3e-5, rtol=1e-4)
+
+
+class TestInt8MlpSubblock:
+    """Fused int8 MLP sub-block (serving): interpret-mode parity vs the
+    identical-semantics XLA int8 formula, and closeness to fp32."""
+
+    def _inputs(self, b=2, s=9, w=128, f=256, seed=17):
+        g = np.random.default_rng(seed)
+        return (jnp.asarray(g.standard_normal((b, s, w)), jnp.float32),
+                jnp.asarray(1 + 0.1 * g.standard_normal((w,)), jnp.float32),
+                jnp.asarray(0.1 * g.standard_normal((w,)), jnp.float32),
+                jnp.asarray(g.standard_normal((w, f)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((f,)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((f, w)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((w,)) * 0.05, jnp.float32))
+
+    def test_kernel_matches_xla_int8(self):
+        from fashionern_aaai2024_tpu.ops.qmlp import (
+            _qmlp_ref, int8_mlp_subblock,
+        )
+
+        args = self._inputs()
+        got = int8_mlp_subblock(*args, force_pallas=True, interpret=True)
+        want = _qmlp_ref(*args, "quick_gelu", 1e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)
+
+    def test_close_to_fp32(self):
+        """int8 quantization error stays at the expected ~1% level
+        relative to the exact fp32 sub-block."""
+        from fashionern_aaai2024_tpu.ops.mlp import _mlp_ref
+        from fashionern_aaai2024_tpu.ops.qmlp import int8_mlp_subblock
+
+        args = self._inputs()
+        q = np.asarray(int8_mlp_subblock(*args, force_pallas=True,
+                                         interpret=True))
+        exact = np.asarray(_mlp_ref(*args, "quick_gelu", 1e-5))
+        rel = np.abs(q - exact).max() / (np.abs(exact).max() + 1e-9)
+        assert rel < 0.05, rel
