@@ -20,7 +20,9 @@ from fashionern_aaai2024_tpu.ops.block import transformer_block
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
 from fashionern_aaai2024_tpu.ops.mlp import mlp_subblock
 from fashionern_aaai2024_tpu.ops.qmatmul import int8_matmul
-from fashionern_aaai2024_tpu.ops.qmlp import int8_mlp_subblock
+from fashionern_aaai2024_tpu.ops.qmlp import (
+    int8_attention_subblock, int8_mlp_subblock,
+)
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -123,7 +125,15 @@ class ResidualAttentionBlock(nn.Module):
                 fc_bias, proj_kernel, proj_bias, h, causal=self.causal,
                 activation=self.activation,
             )
-        if head_dim == 64 and w % 128 == 0:
+        if head_dim == 64 and w % 128 == 0 and self.quantize_mlp:
+            # int8 serving path: qkv + out PROJECTIONS run int8 (2× MXU
+            # rate); the attention math stays bf16 — quantized q/k
+            # scores would compound error (ops/qmlp.py)
+            x = int8_attention_subblock(
+                x, ln1_scale, ln1_bias, in_proj_weight.T, in_proj_bias,
+                out_kernel, out_bias, h, causal=self.causal,
+            )
+        elif head_dim == 64 and w % 128 == 0:
             # LN + QKV projection + attention + out-projection +
             # residual in ONE kernel: neither the LN'd activations, the
             # qkv tensor, the [B,H,S,Dh] layout, nor the attention

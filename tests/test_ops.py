@@ -729,3 +729,49 @@ class TestInt8MlpSubblock:
         exact = np.asarray(_mlp_ref(*args, "quick_gelu", 1e-5))
         rel = np.abs(q - exact).max() / (np.abs(exact).max() + 1e-9)
         assert rel < 0.05, rel
+
+
+class TestInt8AttentionSubblock:
+    """int8-projection attention sub-block (serving): interpret parity
+    vs the XLA int8 formula and closeness to the exact sub-block."""
+
+    def _inputs(self, b=2, s=9, heads=2, dh=64, seed=23):
+        g = np.random.default_rng(seed)
+        w = heads * dh
+        return (jnp.asarray(g.standard_normal((b, s, w)), jnp.float32),
+                jnp.asarray(1 + 0.1 * g.standard_normal((w,)), jnp.float32),
+                jnp.asarray(0.1 * g.standard_normal((w,)), jnp.float32),
+                jnp.asarray(g.standard_normal((w, 3 * w)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((3 * w,)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((w, w)) * 0.05, jnp.float32),
+                jnp.asarray(g.standard_normal((w,)) * 0.05, jnp.float32))
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_kernel_matches_xla_int8(self, causal):
+        from fashionern_aaai2024_tpu.ops.qmlp import (
+            _qattn_ref, int8_attention_subblock,
+        )
+
+        args = self._inputs()
+        got = int8_attention_subblock(*args, 2, causal=causal,
+                                      force_pallas=True, interpret=True)
+        s = args[0].shape[1]
+        bias = (jnp.where(jnp.tril(jnp.ones((s, s), bool)), 0.0, -1e30)
+                .astype(jnp.float32) if causal
+                else jnp.zeros((s, s), jnp.float32))
+        want = _qattn_ref(*args, bias, 64 ** -0.5, 2, 1e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-4, rtol=5e-3)
+
+    def test_close_to_exact(self):
+        from fashionern_aaai2024_tpu.ops.attention import _subblock_ref
+        from fashionern_aaai2024_tpu.ops.qmlp import int8_attention_subblock
+
+        args = self._inputs()
+        s = args[0].shape[1]
+        q = np.asarray(int8_attention_subblock(
+            *args, 2, force_pallas=True, interpret=True))
+        exact = np.asarray(_subblock_ref(
+            *args, jnp.zeros((s, s), jnp.float32), 64 ** -0.5, 2, 1e-5))
+        rel = np.abs(q - exact).max() / (np.abs(exact).max() + 1e-9)
+        assert rel < 0.05, rel
