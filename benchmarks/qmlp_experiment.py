@@ -80,5 +80,50 @@ def main():
         print(f"trunk12 B=128 quantize={quant}: {t*1e3:.2f} ms", flush=True)
 
 
+def attn_ladder():
+    """int8-projection attention sub-block vs the bf16 sub-block kernel
+    (run separately after main())."""
+    import functools as ft
+
+    from fashionern_aaai2024_tpu.ops import attention as attn_mod
+    from fashionern_aaai2024_tpu.ops import qmlp as q
+
+    g = np.random.default_rng(1)
+    for b in (128, 256):
+        s, w, heads = 197, 768, 12
+        mk = lambda *sh: jnp.asarray(g.standard_normal(sh) * 0.05,
+                                     jnp.bfloat16)
+        a = (jnp.asarray(g.standard_normal((b, s, w)), jnp.bfloat16),
+             mk(w) + 1, mk(w), mk(w, 3 * w), mk(3 * w), mk(w, w), mk(w))
+        rows = [
+            ("bf16 attn-subblock", jax.jit(lambda *a_: attn_mod.attention_subblock(
+                *a_, heads))),
+            ("int8 attn-subblock", jax.jit(lambda *a_: q.int8_attention_subblock(
+                *a_, heads, force_pallas=True))),
+        ]
+        for name, fn in rows:
+            t = timeit(fn, *a)
+            print(f"B={b} {name}: {t*1e3:.3f} ms/layer", flush=True)
+
+    # full quantized trunk (attn+mlp int8) vs bf16
+    from fashionern_aaai2024_tpu.models.clip.transformer import Transformer
+
+    for quant in (False, True):
+        trunk = Transformer(768, 12, 12, "quick_gelu", quantize_mlp=quant)
+        xt = jnp.asarray(g.standard_normal((128, 197, 768)), jnp.bfloat16)
+        tv = trunk.init(jax.random.PRNGKey(0), xt[:2])
+        tv = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            tv)
+        fj = jax.jit(lambda v_, x_: trunk.apply(v_, x_))
+        t = timeit(fj, tv, xt, iters=10)
+        print(f"trunk12 B=128 full-int8={quant}: {t*1e3:.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--attn" in sys.argv:
+        attn_ladder()
+    else:
+        main()
