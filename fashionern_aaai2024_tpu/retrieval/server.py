@@ -15,8 +15,12 @@ Stdlib-only HTTP (ThreadingHTTPServer):
   GET  /healthz → {"status": "ok", "gallery_size": N}
   GET  /stats   → request count + latency percentiles
 
-Device work is serialized with a lock (one jitted program at a time);
-requests batch through InferenceAPI's fixed padded batch.
+Each request runs as ONE jitted dispatch (r3 fused serve program, see
+`InferenceAPI.build_serve_fn`). Concurrent single queries additionally
+coalesce through a DYNAMIC MICRO-BATCHER: handler threads enqueue, one
+device thread drains up to the largest compile bucket per dispatch —
+under load, N concurrent b=1 clients cost ~one dispatch instead of N
+serialized ones (the per-dispatch round trip dominates at b=1).
 """
 
 from __future__ import annotations
@@ -60,6 +64,7 @@ class RetrievalService:
             self._serve_fn.warmup()
         self.startup_seconds = time.time() - t0
         self.caption_join = caption_join or (lambda c: c)
+        self.batcher = None  # attached by serve(dynamic_batching=True)
         self._lock = threading.Lock()
         self.request_count = 0
         self._latencies: list[float] = []
@@ -116,13 +121,98 @@ class RetrievalService:
             return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2) \
                 if lat else None
 
-        return {
+        out = {
             "requests": count,
             "gallery_size": self.gallery_size,
             "startup_seconds": round(self.startup_seconds, 2),
             "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
                            "p99": pct(0.99)},
         }
+        if self.batcher is not None:
+            out["dynamic_batching"] = {
+                "batches": self.batcher.batches_run,
+                "items": self.batcher.items_run,
+                "max_batch": self.batcher.max_batch,
+            }
+        return out
+
+
+class MicroBatcher:
+    """Coalesce concurrent single composed queries into one dispatch.
+
+    Handler threads `submit()` and block; one device thread drains up to
+    `max_batch` queued queries (waiting ≤ `max_wait_ms` for stragglers
+    after the first arrives) and runs them as ONE fused serve dispatch.
+    At b=1 the per-dispatch round trip dominates (BASELINE r3 serve
+    ledger: 30 ms floor + ~28 ms work on this host), so N concurrent
+    clients cost ~one dispatch instead of N serialized ones."""
+
+    def __init__(self, service: RetrievalService, max_batch: int = 32,
+                 max_wait_ms: float = 2.0):
+        self.service = service
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self.batches_run = 0
+        self.items_run = 0
+        self._cv = threading.Condition()
+        self._queue: list = []
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, ref_name: str, caption: str, k: int = 10):
+        """One composed query → (top-k results, device latency)."""
+        if ref_name not in self.service.rows:
+            # fail fast without poisoning the batch
+            raise KeyError(f"unknown reference image(s): ['{ref_name}']")
+        slot: dict = {"event": threading.Event()}
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("batcher closed")
+            self._queue.append((ref_name, caption, int(k), slot))
+            self._cv.notify_all()
+        slot["event"].wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["results"], slot["latency"]
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if self._stop and not self._queue:
+                    return
+                deadline = time.time() + self.max_wait
+                while len(self._queue) < self.max_batch and not self._stop:
+                    left = deadline - time.time()
+                    if left <= 0:
+                        break
+                    self._cv.wait(timeout=left)
+                items = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            refs = [it[0] for it in items]
+            caps = [it[1] for it in items]
+            k = max(it[2] for it in items)
+            try:
+                out, latency = self.service.query(refs, caps, k=k)
+            except Exception as e:  # propagate to every waiter
+                for *_, slot in items:
+                    slot["error"] = e
+                    slot["event"].set()
+                continue
+            self.batches_run += 1
+            self.items_run += len(items)
+            for (_, _, ki, slot), res in zip(items, out):
+                slot["results"] = res[:ki]
+                slot["latency"] = latency
+                slot["event"].set()
 
 
 def _make_handler(service: RetrievalService):
@@ -166,7 +256,12 @@ def _make_handler(service: RetrievalService):
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
                 return
             try:  # unknown gallery refs → 404
-                results, latency = service.query(refs, caps, k=k)
+                batcher = getattr(service, "batcher", None)
+                if not batch and batcher is not None:
+                    res0, latency = batcher.submit(refs[0], caps[0], k=k)
+                    results = [res0]
+                else:
+                    results, latency = service.query(refs, caps, k=k)
             except KeyError as e:
                 self._send(404, {"error": str(e)})
                 return
@@ -182,7 +277,14 @@ def _make_handler(service: RetrievalService):
 
 
 def serve(service: RetrievalService, host: str = "127.0.0.1",
-          port: int = 8080) -> ThreadingHTTPServer:
+          port: int = 8080, dynamic_batching: bool = True,
+          max_batch: int | None = None) -> ThreadingHTTPServer:
     """Build the HTTP server (caller runs `serve_forever`, or uses the
-    returned server's port for tests)."""
+    returned server's port for tests). `dynamic_batching` coalesces
+    concurrent single queries into shared dispatches (MicroBatcher);
+    `max_batch` defaults to the serve program's largest compile bucket."""
+    if dynamic_batching and getattr(service, "batcher", None) is None:
+        mb = max_batch or (max(service._serve_fn.buckets)
+                           if hasattr(service._serve_fn, "buckets") else 32)
+        service.batcher = MicroBatcher(service, max_batch=mb)
     return ThreadingHTTPServer((host, port), _make_handler(service))

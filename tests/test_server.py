@@ -190,3 +190,61 @@ class TestServeFn:
                                k=service._serve_fn.k_max + 10)
         # gallery_size caps k; just verify the fallback executes
         assert len(out[0]) == service.gallery_size
+
+
+class TestMicroBatcher:
+    def test_concurrent_singles_coalesce_and_stay_correct(self, service):
+        """N concurrent b=1 HTTP-style queries through the MicroBatcher
+        return exactly what the direct path returns, and coalesce into
+        fewer dispatches than N."""
+        import concurrent.futures as futures
+
+        from fashionern_aaai2024_tpu.retrieval.server import MicroBatcher
+
+        b = MicroBatcher(service, max_batch=8, max_wait_ms=30.0)
+        try:
+            reqs = [(f"img{i % 12}", f"caption {i} words", 3)
+                    for i in range(16)]
+            with futures.ThreadPoolExecutor(16) as pool:
+                got = list(pool.map(lambda r: b.submit(*r)[0], reqs))
+            for (ref, cap, k), res in zip(reqs, got):
+                want, _ = service.query([ref], [cap], k=k)
+                assert [x["name"] for x in res] == \
+                    [x["name"] for x in want[0]]
+                assert len(res) == k
+            assert b.batches_run < 16  # coalescing actually happened
+            assert b.items_run == 16
+        finally:
+            b.close()
+
+    def test_unknown_ref_fails_fast_without_poisoning(self, service):
+        from fashionern_aaai2024_tpu.retrieval.server import MicroBatcher
+
+        b = MicroBatcher(service, max_batch=4, max_wait_ms=5.0)
+        try:
+            with pytest.raises(KeyError):
+                b.submit("ghost", "x", 3)
+            res, _ = b.submit("img1", "still works", 2)
+            assert len(res) == 2
+        finally:
+            b.close()
+
+    def test_http_singles_share_batches(self, base_url):
+        """Concurrent HTTP b=1 posts all succeed under the batcher and
+        /stats reports the coalescing."""
+        import concurrent.futures as futures
+        import json as _json
+        import urllib.request
+
+        def post_one(i):
+            return _post(f"{base_url}/query",
+                         {"ref_name": f"img{i % 12}",
+                          "caption": f"belted {i}", "k": 2})
+
+        with futures.ThreadPoolExecutor(8) as pool:
+            outs = list(pool.map(post_one, range(8)))
+        assert all(len(o["results"]) == 2 for o in outs)
+        with urllib.request.urlopen(f"{base_url}/stats") as r:
+            stats = _json.loads(r.read())
+        assert "dynamic_batching" in stats
+        assert stats["dynamic_batching"]["items"] >= 8
