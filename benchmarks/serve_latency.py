@@ -102,6 +102,38 @@ def main():
         print(f"legacy b={b}: P50 {pct(lat,0.5):.1f} ms  "
               f"P90 {pct(lat,0.9):.1f}  P99 {pct(lat,0.99):.1f}", flush=True)
     svc._serve_fn = svc_fast
+    load_test(svc)
+
+
+def load_test(svc):
+    """Throughput under concurrent b=1 load: direct (serialized) vs
+    micro-batched."""
+    import concurrent.futures as futures
+
+    from fashionern_aaai2024_tpu.retrieval.server import MicroBatcher
+
+    n = 64
+    reqs = [(f"img{i % 128}", f"a red dress with belt {i}", 10)
+            for i in range(n)]
+
+    t0 = time.perf_counter()
+    for r, c, k in reqs[:16]:  # serialized sample (16 is enough)
+        svc.query([r], [c], k=k)
+    serial = 16 / (time.perf_counter() - t0)
+    print(f"load serial b=1: {serial:.1f} qps", flush=True)
+
+    b = MicroBatcher(svc, max_batch=32, max_wait_ms=2.0)
+    try:
+        with futures.ThreadPoolExecutor(32) as pool:  # warm
+            list(pool.map(lambda r: b.submit(*r), reqs[:32]))
+        t0 = time.perf_counter()
+        with futures.ThreadPoolExecutor(32) as pool:
+            list(pool.map(lambda r: b.submit(*r), reqs))
+        dt = time.perf_counter() - t0
+        print(f"load batched b=1 x{n} concurrent: {n/dt:.1f} qps "
+              f"({b.batches_run} batches)", flush=True)
+    finally:
+        b.close()
 
 
 if __name__ == "__main__":

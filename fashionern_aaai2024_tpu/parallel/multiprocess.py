@@ -156,16 +156,30 @@ def _single_process_control(n_devices: int, result_path: str) -> None:
         json.dump({"loss": loss, "num_processes": 1, "devices": n_devices}, f)
 
 
+def _free_port() -> int:
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 def launch_cpu_simulation(num_processes: int = 2,
                           devices_per_process: int = 4,
-                          port: int = 12923,
-                          timeout: int = 600) -> dict:
+                          port: int | None = None,
+                          timeout: int = 1200) -> dict:
     """Spawn the gang + the single-process control; assert loss parity.
 
     Returns {"multiprocess_loss", "single_process_loss", "num_processes",
-    "devices"}. Raises on process failure or loss mismatch."""
+    "devices"}. Raises on process failure or loss mismatch. The
+    coordinator port is picked dynamically by default (a fixed port
+    breaks the rendezvous whenever a stale worker still holds it), and
+    every child is killed on any failure path so a timeout cannot leak
+    a gang that blocks the next run."""
     import tempfile
 
+    if port is None:
+        port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = _REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
@@ -190,8 +204,17 @@ def launch_cpu_simulation(num_processes: int = 2,
              "--single-control", str(num_processes * devices_per_process),
              "--result", sp_json],
             env=env)
-        codes = [p.wait(timeout=timeout) for p in procs]
-        ctrl_code = control.wait(timeout=timeout)
+        children = procs + [control]
+        try:
+            codes = [p.wait(timeout=timeout) for p in procs]
+            ctrl_code = control.wait(timeout=timeout)
+        finally:
+            for p in children:
+                if p.poll() is None:
+                    p.kill()
+            for p in children:
+                if p.returncode is None:
+                    p.wait(timeout=30)
         if any(codes) or ctrl_code:
             raise RuntimeError(
                 f"multiprocess bring-up failed: worker codes={codes}, "

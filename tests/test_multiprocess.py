@@ -14,8 +14,7 @@ def test_two_process_loss_matches_single_process():
         launch_cpu_simulation,
     )
 
-    out = launch_cpu_simulation(num_processes=2, devices_per_process=4,
-                                port=12931)
+    out = launch_cpu_simulation(num_processes=2, devices_per_process=4)
     # launch_cpu_simulation already asserts |Δloss| ≤ 1e-5; pin the
     # observed behavior (bit-identical on CPU) loosely here
     assert out["devices"] == 8
