@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fold frozen BatchNorm into RN conv kernels at "
                         "weight load (numerics-identical; measured "
                         "perf-neutral on v5e — XLA fuses the affine)")
+    e.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+                   help="tower/fusion weight+activation dtype (bf16 is the "
+                        "production serving dtype: MXU-native, recalls "
+                        "measured identical on the rehearsal fixtures)")
 
     sv = sub.add_parser("serve",
                         help="persistent retrieval service: embed+refine the "
@@ -113,6 +117,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--quantize-towers", action="store_true")
     sv.add_argument("--fold-bn", action="store_true")
     sv.add_argument("--data-parallel", action="store_true")
+    sv.add_argument("--precision", default="bf16", choices=["fp32", "bf16"],
+                   help="serving dtype (default bf16: MXU-native)")
+    sv.add_argument("--no-dynamic-batching", action="store_true",
+                    help="disable coalescing of concurrent single queries "
+                         "into shared dispatches (on by default)")
 
     sub.add_parser("info", help="print registered backbones/datasets/losses")
 
@@ -249,6 +258,7 @@ def run_eval(args) -> dict:
         from fashionern_aaai2024_tpu.models.clip.resnet import fold_batchnorm
 
         variables = fold_batchnorm(variables)
+    variables = _cast_precision(variables, getattr(args, "precision", "fp32"))
     mesh = None
     if getattr(args, "data_parallel", False):
         from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
@@ -358,6 +368,21 @@ def make_classic_loader(args):
                   worker_type=getattr(args, "worker_type", "thread"))
 
 
+def _cast_precision(variables: dict, precision: str) -> dict:
+    """bf16 is the production inference dtype (MXU-native; retrieval
+    similarity still accumulates fp32 downstream). Float leaves only —
+    int/bool leaves (e.g. BN counters) keep their dtype."""
+    if precision == "fp32":
+        return variables
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        variables)
+
+
 def build_service(args):
     """Model + gallery + RetrievalService from serve-CLI args (separate
     from `run_serve` so tests can drive the wiring without
@@ -380,6 +405,7 @@ def build_service(args):
         from fashionern_aaai2024_tpu.models.clip.resnet import fold_batchnorm
 
         variables = fold_batchnorm(variables)
+    variables = _cast_precision(variables, getattr(args, "precision", "bf16"))
     mesh = None
     if args.data_parallel:
         from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
@@ -396,7 +422,8 @@ def run_serve(args) -> None:
     from fashionern_aaai2024_tpu.retrieval.server import serve
 
     service = build_service(args)
-    httpd = serve(service, host=args.host, port=args.port)
+    httpd = serve(service, host=args.host, port=args.port,
+                  dynamic_batching=not args.no_dynamic_batching)
     print(f"serving {service.gallery_size} gallery items on "
           f"http://{args.host}:{httpd.server_address[1]} "
           f"(startup {service.startup_seconds:.1f}s)", flush=True)

@@ -208,8 +208,14 @@ def mlp_subblock(
     b, s, w = x.shape
     f = w_fc.shape[1]
     if force_pallas is None:
+        # Mosaic has no erf/erfc lowering, so exact GELU cannot run
+        # inside the kernel on real TPUs (measured crash: eval
+        # --quantize-towers with a scratch-init exact-GELU config).
+        # quick_gelu is the production activation (OpenAI checkpoints);
+        # exact-GELU configs take the XLA path.
         pick = (use_pallas() and x.dtype == jnp.bfloat16
-                and w % 128 == 0 and f % 128 == 0 and b >= 8)
+                and w % 128 == 0 and f % 128 == 0 and b >= 8
+                and activation == "quick_gelu")
     else:
         pick = force_pallas
     if not pick:

@@ -146,8 +146,11 @@ def int8_mlp_subblock(
     b, s, w = x.shape
     f = w_fc.shape[1]
     if force_pallas is None:
+        # exact GELU needs erf, which Mosaic does not lower (see
+        # mlp_subblock) — exact-GELU configs take the int8-XLA path
         pick = (use_pallas() and w % 128 == 0 and f % 128 == 0 and b >= 8
-                and x.dtype in (jnp.bfloat16, jnp.float32))
+                and x.dtype in (jnp.bfloat16, jnp.float32)
+                and activation == "quick_gelu")
     else:
         pick = force_pallas
     if not pick:

@@ -543,6 +543,26 @@ class TestMlpSubblock:
         b = mlp_subblock(*args, force_pallas=False)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
+    def test_exact_gelu_never_dispatches_pallas(self, monkeypatch):
+        """Mosaic has no erf lowering: exact-GELU configs must take the
+        XLA path even on a TPU host (regression: eval --quantize-towers
+        with a scratch-init exact-GELU model crashed in-kernel)."""
+        import fashionern_aaai2024_tpu.ops.mlp as M
+        import fashionern_aaai2024_tpu.ops.qmlp as Q
+
+        monkeypatch.setattr(M, "use_pallas", lambda: True)
+        monkeypatch.setattr(Q, "use_pallas", lambda: True)
+        args = self._inputs(b=8)  # pass every other dispatch condition
+        args = (args[0].astype(jnp.bfloat16),) + args[1:]
+        # without the activation gate these would attempt a real (non-
+        # interpret) pallas_call on CPU and fail to lower
+        got = M.mlp_subblock(*args, activation="gelu")
+        want = M._mlp_ref(*args, "gelu", 1e-5)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32), atol=2e-2)
+        got_q = Q.int8_mlp_subblock(*args, activation="gelu")
+        assert np.isfinite(np.asarray(got_q, np.float32)).all()
+
     def test_pick_splits(self):
         from fashionern_aaai2024_tpu.ops.mlp import _pick_splits
 
