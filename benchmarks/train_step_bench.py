@@ -91,6 +91,21 @@ def main():
         print(f"full train step {precision} B={B}: {B/t:.0f} samples/sec "
               f"({t*1e3:.1f} ms/step)", flush=True)
 
+    # quantized-tower full step (`train --quantize-towers`): int8 MLP
+    # kernels in the frozen towers; bf16 everywhere else. The fallback
+    # for image sets that outrun --cache-features — the step is ~80%
+    # tower forward (r3 roofline) so the eval-side int8 win transfers.
+    q_model = ComposedCIRModel(
+        get_clip_config("ViT-B-16", activation="quick_gelu",
+                        quantize_mlp=True), patch_num=13)
+    state = create_train_state(variables, optimizer, jax.random.PRNGKey(1))
+    state = cast_frozen_clip_bf16(state)
+    step = build_train_step(q_model, optimizer, negatives="local",
+                            local_groups=1, donate=False)
+    t, state = timeit(step, state, image_batch(jnp.bfloat16))
+    print(f"full train step bf16+int8 towers B={B}: {B/t:.0f} samples/sec "
+          f"({t*1e3:.1f} ms/step)", flush=True)
+
     # cached-feature step: image towers out of the graph
     for precision in ("fp32", "bf16"):
         state = create_train_state(variables, optimizer, jax.random.PRNGKey(1))

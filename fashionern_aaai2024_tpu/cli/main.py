@@ -74,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--cache-features", action="store_true",
                    help="pre-encode unique train images once (CLIP is frozen); "
                         "per-step image towers become lookups, text stays online")
+    t.add_argument("--quantize-towers", action="store_true",
+                   help="int8 frozen-tower MLP kernels in the train step — "
+                        "the fallback when the image set outruns "
+                        "--cache-features (the full step is ~80%% frozen-"
+                        "tower forward; towers are stop_gradient'd so the "
+                        "inference int8 path is legal; ~1%% tower-feature "
+                        "numerics change, same trade as eval)")
 
     e = sub.add_parser("eval", help="run a retrieval benchmark")
     _add_common(e)
@@ -122,6 +129,24 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--no-dynamic-batching", action="store_true",
                     help="disable coalescing of concurrent single queries "
                          "into shared dispatches (on by default)")
+
+    ex = sub.add_parser(
+        "export",
+        help="AOT-export the one-dispatch serve program (weights + "
+             "embedded gallery baked in as StableHLO constants) — a "
+             "serving host needs jax + the artifact dir, none of the "
+             "model code (reference deploys by re-importing the whole "
+             "repo per run/test/test_fiq.py)")
+    _add_common(ex)
+    ex.add_argument("--clip-path", default=None)
+    ex.add_argument("--fusion-model-path", default=None)
+    ex.add_argument("--batch-size", default=32, type=int)
+    ex.add_argument("--split", default="val")
+    ex.add_argument("--out", required=True, help="artifact directory")
+    ex.add_argument("--quantize-gallery", action="store_true")
+    ex.add_argument("--quantize-towers", action="store_true")
+    ex.add_argument("--fold-bn", action="store_true")
+    ex.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
 
     sub.add_parser("info", help="print registered backbones/datasets/losses")
 
@@ -407,7 +432,7 @@ def build_service(args):
         variables = fold_batchnorm(variables)
     variables = _cast_precision(variables, getattr(args, "precision", "bf16"))
     mesh = None
-    if args.data_parallel:
+    if getattr(args, "data_parallel", False):
         from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
 
         mesh = create_mesh()
@@ -416,6 +441,23 @@ def build_service(args):
                          mesh=mesh, quantize_gallery=args.quantize_gallery)
     print(f"embedding gallery ({args.dataset}/{args.split}) ...", flush=True)
     return RetrievalService(api, make_classic_loader(args))
+
+
+def run_export(args) -> dict:
+    """`fashionern export`: AOT serving artifact (retrieval/artifact.py).
+
+    Builds the same gallery-resident service as `serve`, then
+    serializes its one-dispatch program with weights + gallery baked in.
+    """
+    from fashionern_aaai2024_tpu.retrieval.artifact import export_serve_artifact
+
+    service = build_service(args)
+    return export_serve_artifact(
+        service._serve_fn, args.out,
+        model_name=args.clip_model_name,
+        gallery_names=service.gallery.names,
+        extra_meta={"dataset": args.dataset, "split": args.split,
+                    "precision": getattr(args, "precision", "bf16")})
 
 
 def run_serve(args) -> None:
@@ -465,6 +507,7 @@ def run_train(args) -> None:
         profile_dir=args.profile_dir,
         precision=args.precision,
         cache_features=getattr(args, "cache_features", False),
+        quantize_towers=getattr(args, "quantize_towers", False),
     )
     trainer = Trainer(cfg)
     if args.clip_model_path:
@@ -572,6 +615,10 @@ def main(argv=None) -> int:
         return 0
     if args.command == "serve":
         run_serve(args)
+        return 0
+    if args.command == "export":
+        manifest = run_export(args)
+        print(json.dumps(manifest))
         return 0
     if args.command == "extract-patches":
         n = run_extract_patches(args)

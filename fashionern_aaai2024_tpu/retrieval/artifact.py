@@ -1,0 +1,219 @@
+"""AOT serving artifacts: `jax.export` the one-dispatch serve program.
+
+The reference deploys by shipping the whole training repo to the
+serving host and re-tracing the model in Python
+(`/root/reference/run/test/test_fiq.py` imports the full model stack to
+answer queries). The TPU-native answer is ahead-of-time export: the
+serve program (text encode → DVR query → gallery matmul → top-k, one
+dispatch — `evaluate.InferenceAPI.build_serve_fn`) is serialized to
+StableHLO with the trained weights AND the embedded gallery baked in as
+constants. A serving host needs jax + this artifact directory — none of
+the model code, checkpoints, dataset classes, or gallery images.
+
+Layout of an artifact directory:
+
+    manifest.json        shapes/buckets/platform/provenance
+    serve_b{B}.jaxexport serialized Exported, one per compile bucket
+    consts.npz           weights + gallery, stored ONCE and fed to every
+                         program as arguments (bf16 as uint16 views —
+                         .npy predates bfloat16); swappable for a
+                         retrained checkpoint with the same tree
+    names.json           gallery row → name map the top-k indices index
+
+Tokenization happens client-side (the vendored BPE tokenizer is pure
+Python with no jax dependency — `models/clip/tokenizer.py`).
+
+Platform note: the artifact records the platform it was exported for
+(`jax.default_backend()` at export time). Export on the deploy platform
+— a TPU-host export bakes the Pallas/Mosaic kernels, a CPU export bakes
+the XLA fallback path; `load_serve_artifact` refuses a platform
+mismatch unless `allow_platform_mismatch=True`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+ARTIFACT_VERSION = 1
+
+
+def _np_storable(x: np.ndarray) -> np.ndarray:
+    """npz-safe view: the .npy format predates bfloat16, so bf16 leaves
+    travel as uint16 bit patterns (dtype recorded in the manifest)."""
+    return x.view(np.uint16) if x.dtype.name == "bfloat16" else x
+
+
+def _np_restore(x: np.ndarray, dtype_name: str) -> np.ndarray:
+    if dtype_name == "bfloat16":
+        import ml_dtypes
+
+        return x.view(ml_dtypes.bfloat16)
+    return x
+
+
+def export_serve_artifact(serve_fn, out_dir: str, *,
+                          model_name: str = "",
+                          gallery_names: Sequence[str] | None = None,
+                          extra_meta: dict | None = None) -> dict:
+    """Export a `build_serve_fn` result (by-rows form) to `out_dir`.
+
+    One serialized program per compile bucket; weights + gallery become
+    StableHLO constants. Returns the manifest dict.
+    """
+    import jax
+    from jax import export as jexport
+
+    if not getattr(serve_fn, "by_rows", False):
+        raise ValueError(
+            "export_serve_artifact needs the by-rows serve fn (build the "
+            "service with gallery ref_features/ref_patches — the "
+            "RetrievalService default)")
+    os.makedirs(out_dir, exist_ok=True)
+    variables, gal, ref_f, ref_p = serve_fn.consts
+    ctx = serve_fn.context_length
+    jfn = serve_fn.jfn
+
+    # Weights + gallery ship ONCE as a sidecar blob and enter each
+    # program as ARGUMENTS (not baked constants): N buckets would
+    # otherwise each embed the full ~weights+gallery (measured 262 MB
+    # per program for ViT-B-16), and the blob can be swapped for a
+    # retrained checkpoint with the same tree without re-exporting.
+    leaves, treedef = jax.tree_util.tree_flatten(
+        (variables, gal, ref_f, ref_p))
+    consts = {f"c{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    dtypes = [str(x.dtype) for x in consts.values()]
+    np.savez(os.path.join(out_dir, "consts.npz"),
+             **{k: _np_storable(v) for k, v in consts.items()})
+    consts_specs = [jax.ShapeDtypeStruct(x.shape, x.dtype)
+                    for x in consts.values()]
+
+    def fn(flat, ids, rows):
+        variables, gal, ref_f, ref_p = jax.tree_util.tree_unflatten(
+            treedef, flat)
+        return jfn(variables, gal, ref_f, ref_p, ids, rows)
+
+    files = {}
+    for b in serve_fn.buckets:
+        ids_spec = jax.ShapeDtypeStruct((b, ctx), np.int32)
+        rows_spec = jax.ShapeDtypeStruct((b,), np.int32)
+        exp = jexport.export(jax.jit(fn))(consts_specs, ids_spec, rows_spec)
+        name = f"serve_b{b}.jaxexport"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        files[str(b)] = name
+
+    manifest = {
+        "artifact_version": ARTIFACT_VERSION,
+        "kind": "fashionern-serve",
+        "model_name": model_name,
+        "platform": __import__("jax").default_backend(),
+        "buckets": list(serve_fn.buckets),
+        "k_max": int(serve_fn.k_max),
+        "context_length": int(ctx),
+        "gallery_size": int(gal.shape[0]),
+        "feature_dim": int(gal.shape[1]),
+        "files": files,
+        "consts_file": "consts.npz",
+        "consts_dtypes": dtypes,
+    }
+    if gallery_names is not None:
+        # row -> name map: the program's top-k indices refer to THIS
+        # order; shipping it makes the artifact self-contained
+        with open(os.path.join(out_dir, "names.json"), "w") as f:
+            json.dump([str(n) for n in gallery_names], f)
+        manifest["names_file"] = "names.json"
+    if extra_meta:
+        manifest.update(extra_meta)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+class ServeArtifact:
+    """Loaded AOT serving artifact: `query(token_ids, rows, k)`.
+
+    Mirrors the live serve fn's contract (pad to the smallest bucket
+    ≥ n, top-k over the baked gallery) without importing any model
+    code — `Exported.call` re-stages the serialized StableHLO.
+    """
+
+    def __init__(self, out_dir: str, manifest: dict, programs: dict):
+        self.dir = out_dir
+        self.manifest = manifest
+        self.buckets = sorted(int(b) for b in programs)
+        self._programs = programs  # bucket -> Exported
+        self.names = None
+        if manifest.get("names_file"):
+            with open(os.path.join(out_dir, manifest["names_file"])) as f:
+                self.names = json.load(f)
+        self._consts = None
+        if manifest.get("consts_file"):
+            import jax
+
+            z = np.load(os.path.join(out_dir, manifest["consts_file"]))
+            # device-resident once at load — queries upload token ids +
+            # rows only, never the weights/gallery blob
+            self._consts = jax.device_put([
+                _np_restore(z[f"c{i}"], d)
+                for i, d in enumerate(manifest["consts_dtypes"])])
+
+    @property
+    def k_max(self) -> int:
+        return self.manifest["k_max"]
+
+    @property
+    def gallery_size(self) -> int:
+        return self.manifest["gallery_size"]
+
+    def row_for(self, name: str) -> int:
+        """name → gallery row, last-wins on duplicates (the same
+        semantics as `evaluate.last_wins_rows` in the live service)."""
+        if self.names is None:
+            raise ValueError("artifact was exported without gallery_names")
+        if not hasattr(self, "_row_map"):
+            self._row_map = {n: i for i, n in enumerate(self.names)}
+        return self._row_map[name]
+
+    def query(self, token_ids: np.ndarray, rows: Sequence[int],
+              k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        token_ids = np.asarray(token_ids, np.int32)
+        n = token_ids.shape[0]
+        b = next((x for x in self.buckets if x >= n), None)
+        if b is None:
+            raise ValueError(
+                f"batch {n} exceeds the largest exported bucket "
+                f"{self.buckets[-1]}; split the request")
+        ids = np.zeros((b, token_ids.shape[1]), np.int32)
+        ids[:n] = token_ids
+        r = np.zeros((b,), np.int32)
+        r[:n] = np.asarray(rows, np.int32)
+        scores, idx = self._programs[b].call(self._consts, ids, r)
+        k = min(k, self.k_max)
+        return np.asarray(scores)[:n, :k], np.asarray(idx)[:n, :k]
+
+
+def load_serve_artifact(out_dir: str, *,
+                        allow_platform_mismatch: bool = False
+                        ) -> ServeArtifact:
+    import jax
+    from jax import export as jexport
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("kind") != "fashionern-serve":
+        raise ValueError(f"{out_dir} is not a fashionern serve artifact")
+    if (manifest["platform"] != jax.default_backend()
+            and not allow_platform_mismatch):
+        raise ValueError(
+            f"artifact exported for {manifest['platform']!r} but this "
+            f"host runs {jax.default_backend()!r}; re-export on the "
+            "deploy platform (or pass allow_platform_mismatch=True)")
+    programs = {}
+    for b, name in manifest["files"].items():
+        with open(os.path.join(out_dir, name), "rb") as f:
+            programs[int(b)] = jexport.deserialize(f.read())
+    return ServeArtifact(out_dir, manifest, programs)

@@ -280,6 +280,13 @@ class InferenceAPI:
         serve.k_max = k_max
         serve.buckets = buckets
         serve.by_rows = by_rows
+        # export surface (retrieval/artifact.py): the underlying jitted
+        # program and its bound operands, so the AOT exporter can bake
+        # weights+gallery as StableHLO constants
+        serve.jfn = jfn
+        serve.consts = ((self.variables, gal, ref_f, ref_p) if by_rows
+                        else (self.variables, gal))
+        serve.context_length = self.context_length
         return serve
 
     def gallery_encode_fn(self) -> Callable:

@@ -73,6 +73,13 @@ class TrainConfig:
     resume_path: str | None = None          # Orbax train-state dir to resume from
     precision: str = "fp32"                 # "fp32" | "bf16" (frozen CLIP towers only)
     cache_features: bool = False            # pre-encode unique images once; text stays online
+    quantize_towers: bool = False           # int8 frozen-tower MLPs in the train step
+    # quantize_towers is the fallback for datasets whose image set does
+    # not fit the feature cache: the full step is ~80% frozen-tower
+    # forward (BASELINE.md r3 roofline), the towers sit behind
+    # stop_gradient (models/composed.py:42), so the VJP-less int8
+    # kernels are legal and only the tower features' numerics change
+    # (~1% — same trade as eval --quantize-towers).
 
 
 @dataclasses.dataclass
@@ -238,8 +245,10 @@ class Trainer:
             )
         self.plugin = plugin or PLUGINS[cfg.dataset]
         self.mesh = mesh if mesh is not None else meshlib.create_mesh()
-        self.clip_cfg = get_clip_config(cfg.clip_model_name, cfg.activation) \
-            if model is None else model.clip_config
+        self.clip_cfg = get_clip_config(
+            cfg.clip_model_name, cfg.activation,
+            quantize_mlp=True if cfg.quantize_towers else None,
+        ) if model is None else model.clip_config
         self.model = model or ComposedCIRModel(self.clip_cfg, patch_num=cfg.patch_num)
 
         self.train_dataset = (

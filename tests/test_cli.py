@@ -214,3 +214,64 @@ class TestServeCLI:
             assert len(data["results"]) == 2
         finally:
             httpd.shutdown()
+
+
+class TestExportArtifact:
+    def test_roundtrip_matches_live_service(self, fiq_root, tiny_backbone,
+                                            bpe_file, tmp_path):
+        """`fashionern export` → load_serve_artifact: the AOT program
+        (weights + gallery as StableHLO constants) answers the same
+        query with the same rows/scores as the live service — without
+        touching the model stack at load time."""
+        from types import SimpleNamespace
+
+        from fashionern_aaai2024_tpu.cli.main import build_service, run_export
+        from fashionern_aaai2024_tpu.retrieval.artifact import (
+            load_serve_artifact,
+        )
+
+        out = str(tmp_path / "artifact")
+        args = SimpleNamespace(
+            dataset="fashioniq", data_root=fiq_root,
+            clip_model_name=tiny_backbone, patch_num=13, num_workers=0,
+            target_ratio=1.25, transform="targetpad", bpe_path=bpe_file,
+            clip_path=None, fusion_model_path=None, batch_size=8,
+            split="val", quantize_towers=False, quantize_gallery=False,
+            out=out, precision="fp32",
+        )
+        manifest = run_export(args)
+        assert manifest["kind"] == "fashionern-serve"
+        assert set(manifest["files"]) == {"1", "8", "32"}
+
+        service = build_service(args)
+        ref = service.gallery.names[0]
+        live = service.query([ref], ["is red"], k=3)[0][0]
+
+        art = load_serve_artifact(out)
+        assert art.gallery_size == service.gallery_size
+        ids = service.api.tokenize(["is red"])
+        scores, rows = art.query(ids, [art.row_for(ref)], k=3)
+        got = [(art.names[r], float(s)) for r, s in zip(rows[0], scores[0])]
+        want = [(r["name"], r["score"]) for r in live]
+        assert [n for n, _ in got] == [n for n, _ in want]
+        np.testing.assert_allclose([s for _, s in got],
+                                   [s for _, s in want], rtol=1e-5)
+
+    def test_platform_mismatch_refused(self, fiq_root, tiny_backbone,
+                                       bpe_file, tmp_path):
+        import json as _json
+
+        from fashionern_aaai2024_tpu.retrieval.artifact import (
+            load_serve_artifact,
+        )
+
+        out = tmp_path / "art2"
+        out.mkdir()
+        (out / "manifest.json").write_text(_json.dumps(
+            {"kind": "fashionern-serve", "platform": "tpu", "files": {},
+             "k_max": 1, "gallery_size": 1, "context_length": 16,
+             "buckets": [1], "feature_dim": 8, "artifact_version": 1}))
+        with pytest.raises(ValueError, match="platform"):
+            load_serve_artifact(str(out))
+        art = load_serve_artifact(str(out), allow_platform_mismatch=True)
+        assert art.manifest["platform"] == "tpu"

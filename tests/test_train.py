@@ -2,6 +2,7 @@
 the pjit train step on the 8-device CPU mesh, checkpointing, and a
 tiny end-to-end Trainer run on synthetic data."""
 
+import dataclasses
 import os
 
 import jax
@@ -599,3 +600,51 @@ class TestShardMapLocalGroupsGuard:
                 object(), optax.sgd(1e-3), negatives="local",
                 local_groups=8, mesh=mesh,
             )
+
+
+class TestQuantizedTowerTraining:
+    """`train --quantize-towers`: int8 frozen-tower MLPs inside the
+    train step — the fallback when the image set outruns
+    --cache-features (BASELINE.md r3 roofline: the full step is ~80%
+    frozen-tower forward). Legal because the towers sit behind
+    stop_gradient (models/composed.py:42); the int8 kernels carry no
+    VJP and must never be asked for one."""
+
+    def test_descends_clip_frozen_tree_unchanged(self):
+        rng = np.random.default_rng(3)
+        q_cfg = dataclasses.replace(TINY, quantize_mlp=True)
+        model = composed.ComposedCIRModel(q_cfg, patch_num=13)
+        batch = tiny_batch(rng)
+        variables = init_variables(model, batch)
+
+        # checkpoint-tree compatibility: quantization is a compute-path
+        # flag, not a parameter change — same tree as the fp path
+        ref_vars = init_variables(tiny_model(), batch)
+        assert (jax.tree_util.tree_structure(variables)
+                == jax.tree_util.tree_structure(ref_vars))
+
+        opt = optax.adam(1e-3)
+        mesh = meshlib.create_mesh()
+        state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        clip_before = jax.tree_util.tree_map(np.asarray, state.clip_params)
+        step = build_train_step(model, opt, negatives="local",
+                                local_groups=8, donate=False)
+        losses = []
+        for _ in range(6):
+            state, loss = step(state, meshlib.shard_batch(mesh, batch))
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        for a, b in zip(jax.tree_util.tree_leaves(clip_before),
+                        jax.tree_util.tree_leaves(
+                            jax.tree_util.tree_map(np.asarray,
+                                                   state.clip_params))):
+            np.testing.assert_array_equal(a, b)
+
+    def test_trainer_config_plumbs_flag(self):
+        from fashionern_aaai2024_tpu.cli.main import build_parser
+
+        args = build_parser().parse_args(
+            ["train", "--dataset", "fashioniq", "--data-root", "/tmp/x",
+             "--quantize-towers"])
+        assert args.quantize_towers
