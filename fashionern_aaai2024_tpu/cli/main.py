@@ -148,6 +148,23 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--fold-bn", action="store_true")
     ex.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
 
+    sa = sub.add_parser(
+        "serve-artifact",
+        help="serve an AOT-exported artifact over HTTP — the host needs "
+             "jax + the artifact dir only (no model code, checkpoint, "
+             "or dataset flags; tokenization is the vendored pure-"
+             "Python BPE)")
+    sa.add_argument("--artifact", required=True, help="artifact directory "
+                    "produced by `fashionern export`")
+    sa.add_argument("--host", default="127.0.0.1")
+    sa.add_argument("--port", default=8080, type=int)
+    sa.add_argument("--no-dynamic-batching", action="store_true")
+    sa.add_argument("--allow-platform-mismatch", action="store_true",
+                    help="load an artifact exported for a different "
+                         "backend (numerics may differ; see manifest)")
+    sa.add_argument("--bpe-path", default=None,
+                    help="BPE merges table for the server-side tokenizer")
+
     sub.add_parser("info", help="print registered backbones/datasets/losses")
 
     x = sub.add_parser("extract-patches",
@@ -475,6 +492,33 @@ def run_serve(args) -> None:
         pass
 
 
+def run_serve_artifact(args) -> None:
+    """`fashionern serve-artifact`: HTTP daemon over an AOT artifact.
+
+    The deploy-host entry point: none of the model stack imports, so it
+    works on a host that has only jax + this package's retrieval/ and
+    tokenizer modules + the artifact directory.
+    """
+    from fashionern_aaai2024_tpu.retrieval.server import ArtifactService, serve
+
+    if args.bpe_path:
+        import os
+
+        os.environ["FASHIONERN_BPE_PATH"] = args.bpe_path
+    service = ArtifactService(
+        args.artifact,
+        allow_platform_mismatch=args.allow_platform_mismatch)
+    httpd = serve(service, host=args.host, port=args.port,
+                  dynamic_batching=not args.no_dynamic_batching)
+    print(f"serving {service.gallery_size} gallery items from artifact "
+          f"{args.artifact} on http://{args.host}:{httpd.server_address[1]} "
+          f"(startup {service.startup_seconds:.1f}s)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
 def run_train(args) -> None:
     from fashionern_aaai2024_tpu.train.trainer import TrainConfig, Trainer
 
@@ -615,6 +659,9 @@ def main(argv=None) -> int:
         return 0
     if args.command == "serve":
         run_serve(args)
+        return 0
+    if args.command == "serve-artifact":
+        run_serve_artifact(args)
         return 0
     if args.command == "export":
         manifest = run_export(args)

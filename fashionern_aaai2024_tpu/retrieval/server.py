@@ -137,6 +137,113 @@ class RetrievalService:
         return out
 
 
+class ArtifactService:
+    """RetrievalService facade over a loaded AOT artifact (no model code).
+
+    Same HTTP surface (`query`/`stats`/`gallery_size`/`rows`) as the
+    live service, but the host needs only jax + the artifact directory +
+    the pure-Python BPE tokenizer: startup is deserialize + device_put
+    (seconds) instead of gallery embedding (minutes), and there is no
+    checkpoint, dataset, or flax import anywhere on the path. The
+    reference's only deploy story is shipping the whole training repo
+    and re-tracing per run (`/root/reference/run/test/test_fiq.py`).
+
+    `k` clamps to the exported `k_max` — the artifact carries the fused
+    top-k program only, not the raw gallery matrix the live service
+    falls back to for large k.
+    """
+
+    def __init__(self, artifact_dir: str, caption_join=None,
+                 warmup: bool = True, allow_platform_mismatch: bool = False):
+        from fashionern_aaai2024_tpu.models.clip.tokenizer import tokenize
+        from fashionern_aaai2024_tpu.retrieval.artifact import load_serve_artifact
+
+        t0 = time.time()
+        self.artifact = load_serve_artifact(
+            artifact_dir, allow_platform_mismatch=allow_platform_mismatch)
+        if self.artifact.names is None:
+            raise ValueError(
+                "artifact has no names.json (exported without "
+                "gallery_names); the HTTP service needs the row→name map")
+        self._tokenize = tokenize
+        self._ctx = int(self.artifact.manifest["context_length"])
+        # last-wins on duplicate names: matches evaluate.last_wins_rows
+        self.rows = {n: i for i, n in enumerate(self.artifact.names)}
+        self._names = np.asarray(self.artifact.names, dtype=object)
+        # serve() reads ._serve_fn.buckets for the micro-batcher cap
+        self._serve_fn = self.artifact
+        if warmup:  # execute each bucket once so no query hits a stall
+            for b in self.artifact.buckets:
+                self.artifact.query(np.zeros((b, self._ctx), np.int32),
+                                    np.zeros((b,), np.int32), k=1)
+        self.startup_seconds = time.time() - t0
+        self.caption_join = caption_join or (lambda c: c)
+        self.batcher = None
+        self._lock = threading.Lock()
+        self.request_count = 0
+        self._latencies: list[float] = []
+
+    @property
+    def gallery_size(self) -> int:
+        return len(self._names)
+
+    def query(self, ref_names: Sequence[str], captions: Sequence[str],
+              k: int = 10):
+        if len(ref_names) != len(captions):
+            raise ValueError("ref_names and captions length mismatch")
+        unknown = [r for r in ref_names if r not in self.rows]
+        if unknown:
+            raise KeyError(f"unknown reference image(s): {unknown[:5]}")
+        t0 = time.time()
+        caps = [self.caption_join(c) for c in captions]
+        rows = [self.rows[r] for r in ref_names]
+        with self._lock:
+            ids = self._tokenize(caps, self._ctx)
+            scores, idx = self.artifact.query(ids, rows, k=k)
+        latency = time.time() - t0
+        with self._lock:
+            self.request_count += 1
+            self._latencies.append(latency)
+            if len(self._latencies) > 10_000:
+                del self._latencies[:5_000]
+        out = []
+        for q in range(len(ref_names)):
+            out.append([
+                {"name": str(self._names[idx[q, j]]),
+                 "score": float(scores[q, j])}
+                for j in range(idx.shape[1])
+            ])
+        return out, latency
+
+    def stats(self) -> dict:
+        with self._lock:
+            count = self.request_count
+            lat = sorted(self._latencies)
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2) \
+                if lat else None
+
+        out = {
+            "requests": count,
+            "gallery_size": self.gallery_size,
+            "startup_seconds": round(self.startup_seconds, 2),
+            "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
+                           "p99": pct(0.99)},
+            "artifact": {"dir": self.artifact.dir,
+                         "platform": self.artifact.manifest["platform"],
+                         "model_name": self.artifact.manifest.get(
+                             "model_name", "")},
+        }
+        if self.batcher is not None:
+            out["dynamic_batching"] = {
+                "batches": self.batcher.batches_run,
+                "items": self.batcher.items_run,
+                "max_batch": self.batcher.max_batch,
+            }
+        return out
+
+
 class MicroBatcher:
     """Coalesce concurrent single composed queries into one dispatch.
 

@@ -257,6 +257,74 @@ class TestExportArtifact:
         np.testing.assert_allclose([s for _, s in got],
                                    [s for _, s in want], rtol=1e-5)
 
+    def test_serve_artifact_http_parity(self, fiq_root, tiny_backbone,
+                                        bpe_file, tmp_path):
+        """`fashionern serve-artifact`: the artifact-backed HTTP daemon
+        answers a composed query identically to the live (model-stack)
+        service — the deploy-host path end-to-end."""
+        import json as _json
+        import threading
+        import urllib.request
+        from types import SimpleNamespace
+
+        from fashionern_aaai2024_tpu.cli.main import build_service, run_export
+        from fashionern_aaai2024_tpu.retrieval.server import (
+            ArtifactService,
+            serve,
+        )
+
+        out = str(tmp_path / "artifact")
+        args = SimpleNamespace(
+            dataset="fashioniq", data_root=fiq_root,
+            clip_model_name=tiny_backbone, patch_num=13, num_workers=0,
+            target_ratio=1.25, transform="targetpad", bpe_path=bpe_file,
+            clip_path=None, fusion_model_path=None, batch_size=8,
+            split="val", quantize_towers=False, quantize_gallery=False,
+            out=out, precision="fp32",
+        )
+        run_export(args)
+        live = build_service(args)
+        ref = live.gallery.names[0]
+        want = live.query([ref], ["is red"], k=3)[0][0]
+
+        svc = ArtifactService(out)
+        assert svc.gallery_size == live.gallery_size
+        httpd = serve(svc, port=0)
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = httpd.server_address[1]
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query",
+                data=_json.dumps({"ref_name": ref, "caption": "is red",
+                                  "k": 3}).encode(),
+                headers={"Content-Type": "application/json"}, method="POST")
+            with urllib.request.urlopen(req) as r:
+                data = _json.loads(r.read())
+            assert [x["name"] for x in data["results"]] == \
+                [x["name"] for x in want]
+            np.testing.assert_allclose(
+                [x["score"] for x in data["results"]],
+                [x["score"] for x in want], rtol=1e-5)
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats") as r:
+                stats = _json.loads(r.read())
+            assert stats["artifact"]["dir"] == out
+            # unknown refs still 404 through the artifact path
+            bad = urllib.request.Request(
+                f"http://127.0.0.1:{port}/query",
+                data=_json.dumps({"ref_name": "nope", "caption": "x"}
+                                 ).encode(), method="POST")
+            try:
+                urllib.request.urlopen(bad)
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            httpd.shutdown()
+            if svc.batcher is not None:
+                svc.batcher.close()
+
     def test_platform_mismatch_refused(self, fiq_root, tiny_backbone,
                                        bpe_file, tmp_path):
         import json as _json
