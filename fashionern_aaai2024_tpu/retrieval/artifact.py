@@ -119,6 +119,7 @@ def export_serve_artifact(serve_fn, out_dir: str, *,
         "files": files,
         "consts_file": "consts.npz",
         "consts_dtypes": dtypes,
+        "consts_shapes": [list(x.shape) for x in consts.values()],
     }
     if gallery_names is not None:
         # row -> name map: the program's top-k indices refer to THIS
@@ -130,6 +131,44 @@ def export_serve_artifact(serve_fn, out_dir: str, *,
         manifest.update(extra_meta)
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def refresh_consts(out_dir: str, serve_fn) -> dict:
+    """Swap an artifact's weights+gallery blob for a retrained service's
+    WITHOUT re-exporting the programs.
+
+    The serialized programs take the consts as *arguments*, so any
+    checkpoint with the same tree (shapes + dtypes) slots in. Validates
+    the new leaves against the manifest before touching the file and
+    raises on any mismatch — a shape change means the programs really
+    do need a re-export.
+    """
+    import jax
+
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest.get("kind") != "fashionern-serve":
+        raise ValueError(f"{out_dir} is not a fashionern serve artifact")
+    variables, gal, ref_f, ref_p = serve_fn.consts
+    leaves, _ = jax.tree_util.tree_flatten((variables, gal, ref_f, ref_p))
+    consts = {f"c{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    shapes = manifest.get("consts_shapes")
+    if shapes is None:  # pre-shape manifests: read shapes from the blob
+        z = np.load(os.path.join(out_dir, manifest["consts_file"]))
+        shapes = [list(z[f"c{i}"].shape) for i in range(len(z.files))]
+    if len(shapes) != len(consts):
+        raise ValueError(
+            f"new consts tree has {len(consts)} leaves, artifact expects "
+            f"{len(shapes)} — model/gallery structure changed; re-export")
+    for (k, v), dt, shp in zip(consts.items(), manifest["consts_dtypes"],
+                               shapes):
+        if str(v.dtype) != dt or list(v.shape) != shp:
+            raise ValueError(
+                f"const {k}: got {v.dtype}{list(v.shape)}, artifact "
+                f"expects {dt}{shp} — re-export")
+    np.savez(os.path.join(out_dir, manifest["consts_file"]),
+             **{k: _np_storable(v) for k, v in consts.items()})
     return manifest
 
 

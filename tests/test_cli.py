@@ -257,6 +257,51 @@ class TestExportArtifact:
         np.testing.assert_allclose([s for _, s in got],
                                    [s for _, s in want], rtol=1e-5)
 
+    def test_refresh_consts_swaps_weights_without_reexport(
+            self, fiq_root, tiny_backbone, bpe_file, tmp_path):
+        """The consts.npz sidecar is swappable for a retrained
+        checkpoint with the same tree: scaling the baked gallery 2x via
+        refresh_consts doubles the served scores through the ORIGINAL
+        programs; a shape change is refused with a clear error."""
+        from types import SimpleNamespace
+
+        import jax
+
+        from fashionern_aaai2024_tpu.cli.main import build_service, run_export
+        from fashionern_aaai2024_tpu.retrieval.artifact import (
+            load_serve_artifact,
+            refresh_consts,
+        )
+
+        out = str(tmp_path / "artifact")
+        args = SimpleNamespace(
+            dataset="fashioniq", data_root=fiq_root,
+            clip_model_name=tiny_backbone, patch_num=13, num_workers=0,
+            target_ratio=1.25, transform="targetpad", bpe_path=bpe_file,
+            clip_path=None, fusion_model_path=None, batch_size=8,
+            split="val", quantize_towers=False, quantize_gallery=False,
+            out=out, precision="fp32",
+        )
+        run_export(args)
+        service = build_service(args)
+        ids = service.api.tokenize(["is red"])
+        art = load_serve_artifact(out)
+        s1, r1 = art.query(ids, [0], k=3)
+
+        variables, gal, ref_f, ref_p = service._serve_fn.consts
+        fn2 = SimpleNamespace(consts=(variables, jax.numpy.asarray(gal) * 2,
+                                      ref_f, ref_p))
+        refresh_consts(out, fn2)
+        art2 = load_serve_artifact(out)
+        s2, r2 = art2.query(ids, [0], k=3)
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_allclose(s2, 2 * s1, rtol=1e-5)
+
+        bad = SimpleNamespace(consts=(variables, jax.numpy.asarray(gal)[:, :4],
+                                      ref_f, ref_p))
+        with pytest.raises(ValueError, match="re-export"):
+            refresh_consts(out, bad)
+
     def test_serve_artifact_http_parity(self, fiq_root, tiny_backbone,
                                         bpe_file, tmp_path):
         """`fashionern serve-artifact`: the artifact-backed HTTP daemon
