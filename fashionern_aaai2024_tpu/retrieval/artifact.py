@@ -185,6 +185,7 @@ class ServeArtifact:
         self.manifest = manifest
         self.buckets = sorted(int(b) for b in programs)
         self._programs = programs  # bucket -> Exported
+        self._calls: dict = {}  # bucket -> jitted Exported.call
         self.names = None
         if manifest.get("names_file"):
             with open(os.path.join(out_dir, manifest["names_file"])) as f:
@@ -230,7 +231,14 @@ class ServeArtifact:
         ids[:n] = token_ids
         r = np.zeros((b,), np.int32)
         r[:n] = np.asarray(rows, np.int32)
-        scores, idx = self._programs[b].call(self._consts, ids, r)
+        if b not in self._calls:
+            # jit the deserialized program: repeated calls then take the
+            # C++ dispatch fast path instead of re-staging Exported.call
+            # per query (measured −5-10 ms at b=1 on the v5e tunnel)
+            import jax
+
+            self._calls[b] = jax.jit(self._programs[b].call)
+        scores, idx = self._calls[b](self._consts, ids, r)
         k = min(k, self.k_max)
         return np.asarray(scores)[:n, :k], np.asarray(idx)[:n, :k]
 

@@ -257,6 +257,20 @@ class TestExportArtifact:
         np.testing.assert_allclose([s for _, s in got],
                                    [s for _, s in want], rtol=1e-5)
 
+    def test_serve_artifact_parser_is_model_free(self):
+        """The deploy-host subcommand takes only the artifact + HTTP
+        flags — none of the dataset/model/checkpoint surface."""
+        from fashionern_aaai2024_tpu.cli.main import build_parser
+
+        args = build_parser().parse_args(
+            ["serve-artifact", "--artifact", "/x", "--port", "9"])
+        assert args.command == "serve-artifact"
+        assert args.artifact == "/x" and args.port == 9
+        assert not args.no_dynamic_batching
+        assert not args.allow_platform_mismatch
+        assert not hasattr(args, "data_root")
+        assert not hasattr(args, "clip_model_name")
+
     def test_refresh_consts_swaps_weights_without_reexport(
             self, fiq_root, tiny_backbone, bpe_file, tmp_path):
         """The consts.npz sidecar is swappable for a retrained
