@@ -203,7 +203,8 @@ class InferenceAPI:
                        buckets: Sequence[int] = (1, 8, 32),
                        patch_num: int = 13,
                        ref_features: np.ndarray | None = None,
-                       ref_patches: np.ndarray | None = None):
+                       ref_patches: np.ndarray | None = None,
+                       mesh=None):
         """One-dispatch serving program: text encode → DVR query →
         gallery matmul → top-k, in a single jitted call per request.
 
@@ -221,14 +222,39 @@ class InferenceAPI:
         see BASELINE r3 serve ledger; per-transfer cost dominates at b=1
         through the tunnel, and is pure overhead on any host).
         `serve(token_ids, rows_or_feats, patch_or_none, k)`; call
-        `warmup()` on it at startup to pre-compile every bucket."""
+        `warmup()` on it at startup to pre-compile every bucket.
+
+        `mesh` (or the API's own mesh): GALLERY-SHARDED serving — the
+        gallery matrix and its raw ref feature/patch arrays live
+        row-sharded over the mesh's `data` axis, so serving HBM scales
+        with mesh size (the gallery, not the model, is the serving
+        memory axis: 1M items × d=640 fp32 + 13 patches ≈ 36 GB —
+        far past one chip). Per query each chip runs the tiny
+        text+DVR program on the replicated batch, scores its gallery
+        shard, and only [b, k] candidate sets cross ICI (all_gather +
+        merge, same pattern as `engine.sharded_search`); the ref-row
+        gather is a masked local lookup + psum. Still one dispatch.
+        Requires `ref_features` (the by-rows form)."""
         import jax.numpy as jnp
 
+        if mesh is None:
+            mesh = self.mesh
         gal = jnp.asarray(gallery_features, jnp.float32)
-        k_max = min(k_max, gal.shape[0])
+        n_rows = int(gal.shape[0])
+        k_max = min(k_max, n_rows)
         model = self.model
         buckets = tuple(sorted(buckets))
         by_rows = ref_features is not None
+
+        if mesh is not None:
+            if not by_rows:
+                raise ValueError(
+                    "mesh-sharded serving needs the by-rows form "
+                    "(pass ref_features/ref_patches)")
+            return self._build_sharded_serve_fn(
+                mesh, gal, ref_features, ref_patches, k_max, buckets,
+                n_rows)
+
         if by_rows:
             ref_f = jnp.asarray(ref_features, jnp.float32)
             ref_p = jnp.asarray(ref_patches, jnp.float32)
@@ -280,12 +306,109 @@ class InferenceAPI:
         serve.k_max = k_max
         serve.buckets = buckets
         serve.by_rows = by_rows
+        serve.mesh = None
         # export surface (retrieval/artifact.py): the underlying jitted
         # program and its bound operands, so the AOT exporter can bake
         # weights+gallery as StableHLO constants
         serve.jfn = jfn
         serve.consts = ((self.variables, gal, ref_f, ref_p) if by_rows
                         else (self.variables, gal))
+        serve.context_length = self.context_length
+        return serve
+
+    def _build_sharded_serve_fn(self, mesh, gal, ref_features, ref_patches,
+                                k_max: int, buckets, n_rows: int):
+        """Gallery-sharded one-dispatch serve program (see build_serve_fn).
+
+        Layout: gallery scores matrix + raw ref feature/patch rows are
+        padded to a multiple of the mesh size and row-sharded over
+        `data`; weights and the query batch are replicated. shard_map —
+        not plain GSPMD — for the same reason as the eval towers: the
+        Pallas kernels inside the text encoder have no GSPMD
+        partitioning rule. ICI traffic per query: one psum of the [b,d]
+        + [b,p,d] gathered ref rows and one [b, k_local] all_gather of
+        shard-top-k candidates; the [b, per-shard] score matrix never
+        leaves its chip."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fashionern_aaai2024_tpu.ops.similarity import merge_top_k
+        from fashionern_aaai2024_tpu.parallel.mesh import DATA_AXIS
+
+        model = self.model
+        n_dev = mesh.shape[DATA_AXIS]
+        per = -(-n_rows // n_dev)
+        k_local = min(k_max, per)
+
+        def shard_rows(x):
+            x = jnp.asarray(x, jnp.float32)
+            x = jnp.pad(x, ((0, per * n_dev - n_rows),)
+                        + ((0, 0),) * (x.ndim - 1))
+            return jax.device_put(
+                x, NamedSharding(mesh, P(DATA_AXIS,
+                                         *([None] * (x.ndim - 1)))))
+
+        gal_sh = shard_rows(gal)
+        ref_f = shard_rows(ref_features)
+        ref_p = shard_rows(ref_patches)
+
+        def local_body(v, g, gf, gp, ids, rows):
+            shard = jax.lax.axis_index(DATA_AXIS)
+            start = shard * per
+            # masked local gather + psum == distributed row lookup
+            local = rows - start
+            hit = (local >= 0) & (local < per)
+            safe = jnp.where(hit, local, 0)
+            rf = jax.lax.psum(
+                gf[safe] * hit[:, None].astype(gf.dtype), DATA_AXIS)
+            rp = jax.lax.psum(
+                gp[safe] * hit[:, None, None].astype(gp.dtype), DATA_AXIS)
+            # replicated text + DVR work: b<=32 rows — duplicating it
+            # beats broadcasting activations at serving batch sizes
+            tg, ts = model.apply(v, ids, method=model.encode_text)
+            pred = model.apply(
+                v, rf, rp, tg.astype(jnp.float32), ts.astype(jnp.float32),
+                method=model.query)
+            s, i = jax.lax.top_k(pred @ g.T, k_local)
+            gi = i + start
+            valid = gi < n_rows  # padded gallery rows score 0 — mask
+            s = jnp.where(valid, s, -jnp.inf)
+            gi = jnp.where(valid, gi, jnp.iinfo(jnp.int32).max)
+            s_all = jax.lax.all_gather(s, DATA_AXIS, axis=1, tiled=True)
+            i_all = jax.lax.all_gather(gi, DATA_AXIS, axis=1, tiled=True)
+            return merge_top_k(s_all, i_all, k_max)
+
+        jfn = jax.jit(jax.shard_map(
+            local_body, mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                      P(DATA_AXIS, None, None), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+
+        def serve(token_ids, ref, ref_patch=None, k: int = 10):
+            n = token_ids.shape[0]
+            b = next((x for x in buckets if x >= n),
+                     -(-n // buckets[-1]) * buckets[-1])
+            ids = _pad_rows(np.asarray(token_ids), b)
+            rows = np.zeros((b,), np.int32)
+            rows[:n] = np.asarray(ref, np.int32)
+            s, i = jfn(self.variables, gal_sh, ref_f, ref_p, ids, rows)
+            k = min(k, k_max)
+            return np.asarray(s[:n, :k]), np.asarray(i[:n, :k])
+
+        def warmup():
+            for b in buckets:
+                serve(np.zeros((b, self.context_length), np.int32),
+                      np.zeros((b,), np.int32), k=1)
+
+        serve.warmup = warmup
+        serve.k_max = k_max
+        serve.buckets = buckets
+        serve.by_rows = True
+        serve.mesh = mesh  # export_serve_artifact refuses mesh programs
+        serve.jfn = jfn
+        serve.consts = (self.variables, gal_sh, ref_f, ref_p)
         serve.context_length = self.context_length
         return serve
 

@@ -285,6 +285,52 @@ class TestMeshShardedInference:
             E.InferenceAPI(model, {"params": {}}, batch_size=6,
                            mesh=create_mesh(8))
 
+    def test_sharded_serve_matches_single_device(self, api):
+        """build_serve_fn(mesh=...) row-shards the gallery + raw ref
+        arrays over the data axis (serving HBM scales with mesh size);
+        the one-dispatch answers must match the single-device program.
+        Gallery size 21 on an 8-mesh exercises pad rows, the masked
+        distributed ref-row gather, and k_local < k_max merging."""
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+
+        g = np.random.default_rng(3)
+        n = 21
+        gal = g.standard_normal((n, DIM)).astype(np.float32)
+        ref_f = g.standard_normal((n, DIM)).astype(np.float32)
+        ref_p = g.standard_normal((n, 13, DIM)).astype(np.float32)
+        plain = api.build_serve_fn(gal, k_max=7, buckets=(1, 4),
+                                   ref_features=ref_f, ref_patches=ref_p)
+        sharded = api.build_serve_fn(gal, k_max=7, buckets=(1, 4),
+                                     ref_features=ref_f, ref_patches=ref_p,
+                                     mesh=create_mesh(8))
+        assert sharded.mesh is not None and plain.mesh is None
+        ids = fake_tokenizer(["is red", "blue dress", "long sleeves"], 16)
+        rows = [0, 5, 20]  # 20: last row — lives on a late shard
+        s1, i1 = plain(ids, rows, k=7)
+        s2, i2 = sharded(ids, rows, k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        # padded gallery rows (21→24) must never appear in the top-k
+        assert int(np.max(i2)) < n
+
+    def test_sharded_serve_fn_not_exportable(self, api):
+        """The AOT exporter refuses mesh programs (the serialization
+        would pin the device count) with an actionable message."""
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+        from fashionern_aaai2024_tpu.retrieval.artifact import (
+            export_serve_artifact,
+        )
+
+        g = np.random.default_rng(4)
+        sharded = api.build_serve_fn(
+            g.standard_normal((16, DIM)).astype(np.float32),
+            k_max=4, buckets=(1,),
+            ref_features=g.standard_normal((16, DIM)).astype(np.float32),
+            ref_patches=g.standard_normal((16, 13, DIM)).astype(np.float32),
+            mesh=create_mesh(8))
+        with pytest.raises(ValueError, match="not exportable"):
+            export_serve_artifact(sharded, "/tmp/should_not_exist")
+
 
 class TestBf16ServingPath:
     def test_bf16_variables_match_fp32_recalls(self, api):
