@@ -483,9 +483,12 @@ def run_serve(args) -> None:
     service = build_service(args)
     httpd = serve(service, host=args.host, port=args.port,
                   dynamic_batching=not args.no_dynamic_batching)
+    mesh = getattr(service._serve_fn, "mesh", None)
+    shard_note = (f", gallery sharded over {mesh.devices.size} devices"
+                  if mesh is not None else "")
     print(f"serving {service.gallery_size} gallery items on "
           f"http://{args.host}:{httpd.server_address[1]} "
-          f"(startup {service.startup_seconds:.1f}s)", flush=True)
+          f"(startup {service.startup_seconds:.1f}s{shard_note})", flush=True)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
