@@ -130,6 +130,18 @@ def main():
         print(f"cached-feature step {precision} B={B}: {B/t:.0f} samples/sec "
               f"({t*1e3:.1f} ms/step)", flush=True)
 
+    # cached + int8: the image towers are cache lookups, so the only
+    # tower left online is the TEXT encoder — the int8 sub-block
+    # kernels dispatch there too (dh=64, width 512 % 128 == 0)
+    state = create_train_state(variables, optimizer, jax.random.PRNGKey(1))
+    state = cast_frozen_clip_bf16(state)
+    step = build_cached_image_train_step(q_model, optimizer,
+                                         negatives="local", local_groups=1,
+                                         donate=False)
+    t, state = timeit(step, state, batch)
+    print(f"cached-feature step bf16+int8 text B={B}: {B/t:.0f} samples/sec "
+          f"({t*1e3:.1f} ms/step)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -76,8 +76,8 @@ def export_serve_artifact(serve_fn, out_dir: str, *,
         raise ValueError(
             "mesh-sharded serve programs are not exportable: the "
             "serialized StableHLO would pin this mesh's device count. "
-            "Export from a single-device service and shard at load "
-            "time, or serve the mesh live (`serve --data-parallel`).")
+            "Export from a single-device service, or serve the mesh "
+            "live (`serve --data-parallel`).")
     os.makedirs(out_dir, exist_ok=True)
     variables, gal, ref_f, ref_p = serve_fn.consts
     ctx = serve_fn.context_length
