@@ -207,6 +207,34 @@ class ServeArtifact:
                 _np_restore(z[f"c{i}"], d)
                 for i, d in enumerate(manifest["consts_dtypes"])])
 
+    def reload_consts(self) -> None:
+        """Re-read the consts sidecar (weights + gallery) from disk and
+        swap it in — the live half of `refresh_consts`: after an
+        operator re-points the blob at a retrained checkpoint, a
+        running daemon picks it up WITHOUT restart or recompile (the
+        programs take the consts as arguments, so the jitted calls are
+        untouched). The swap is a single attribute assignment; in-flight
+        queries finish against the old blob. names.json is re-read too
+        in case the gallery row→name map was republished."""
+        import jax
+
+        z = np.load(os.path.join(self.dir, self.manifest["consts_file"]))
+        consts = jax.device_put([
+            _np_restore(z[f"c{i}"], d)
+            for i, d in enumerate(self.manifest["consts_dtypes"])])
+        if self.manifest.get("names_file"):
+            with open(os.path.join(self.dir,
+                                   self.manifest["names_file"])) as f:
+                names = json.load(f)
+            if self.names is not None and len(names) != len(self.names):
+                raise ValueError(
+                    f"republished names.json has {len(names)} rows, "
+                    f"programs expect {len(self.names)} — re-export")
+            self.names = names
+            if hasattr(self, "_row_map"):
+                del self._row_map
+        self._consts = consts
+
     @property
     def k_max(self) -> int:
         return self.manifest["k_max"]

@@ -215,6 +215,20 @@ class ArtifactService:
             ])
         return out, latency
 
+    def reload(self) -> dict:
+        """POST /reload: re-read the consts sidecar (weights + gallery
+        blob republished by `refresh_consts`) into the running daemon —
+        no restart, no recompile. Serialized against queries by the
+        device lock; returns the swap wall time."""
+        t0 = time.time()
+        with self._lock:
+            self.artifact.reload_consts()
+            self.rows = {n: i for i, n in enumerate(self.artifact.names)}
+            self._names = np.asarray(self.artifact.names, dtype=object)
+        return {"reloaded": True,
+                "seconds": round(time.time() - t0, 3),
+                "gallery_size": self.gallery_size}
+
     def stats(self) -> dict:
         with self._lock:
             count = self.request_count
@@ -345,6 +359,21 @@ def _make_handler(service: RetrievalService):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/reload":
+                # live consts swap (artifact-backed services only):
+                # after `refresh_consts` republishes the sidecar, the
+                # daemon picks up the retrained weights/gallery with no
+                # restart and no recompile
+                if not hasattr(service, "reload"):
+                    self._send(404, {
+                        "error": "reload is only supported by "
+                                 "artifact-backed services"})
+                    return
+                try:
+                    self._send(200, service.reload())
+                except Exception as e:
+                    self._send(409, {"error": f"{type(e).__name__}: {e}"})
+                return
             if self.path != "/query":
                 self._send(404, {"error": "unknown path"})
                 return

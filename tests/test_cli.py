@@ -316,6 +316,68 @@ class TestExportArtifact:
         with pytest.raises(ValueError, match="re-export"):
             refresh_consts(out, bad)
 
+    def test_live_reload_picks_up_republished_consts(
+            self, fiq_root, tiny_backbone, bpe_file, tmp_path):
+        """POST /reload on a running artifact daemon: after
+        refresh_consts republishes the sidecar, the SAME service
+        instance serves the new weights/gallery — no restart, no
+        recompile (scores double with a 2x-scaled gallery)."""
+        import json as _json
+        import threading
+        import urllib.request
+        from types import SimpleNamespace
+
+        import jax
+
+        from fashionern_aaai2024_tpu.cli.main import build_service, run_export
+        from fashionern_aaai2024_tpu.retrieval.artifact import refresh_consts
+        from fashionern_aaai2024_tpu.retrieval.server import (
+            ArtifactService,
+            serve,
+        )
+
+        out = str(tmp_path / "artifact")
+        args = SimpleNamespace(
+            dataset="fashioniq", data_root=fiq_root,
+            clip_model_name=tiny_backbone, patch_num=13, num_workers=0,
+            target_ratio=1.25, transform="targetpad", bpe_path=bpe_file,
+            clip_path=None, fusion_model_path=None, batch_size=8,
+            split="val", quantize_towers=False, quantize_gallery=False,
+            out=out, precision="fp32",
+        )
+        run_export(args)
+        service = build_service(args)
+        svc = ArtifactService(out, warmup=False)
+        srv = serve(svc, host="127.0.0.1", port=0, dynamic_batching=False)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        port = srv.server_address[1]
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                _json.dumps(payload).encode(),
+                {"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return _json.loads(r.read())
+
+        ref = service.gallery.names[0]
+        before = post("/query", {"ref_name": ref, "caption": "is red",
+                                 "k": 3})["results"]
+
+        variables, gal, ref_f, ref_p = service._serve_fn.consts
+        refresh_consts(out, SimpleNamespace(
+            consts=(variables, jax.numpy.asarray(gal) * 2, ref_f, ref_p)))
+        resp = post("/reload", {})
+        assert resp["reloaded"] and resp["gallery_size"] == svc.gallery_size
+
+        after = post("/query", {"ref_name": ref, "caption": "is red",
+                                "k": 3})["results"]
+        assert [r["name"] for r in after] == [r["name"] for r in before]
+        np.testing.assert_allclose([r["score"] for r in after],
+                                   [2 * r["score"] for r in before],
+                                   rtol=1e-5)
+        srv.shutdown()
+
     def test_serve_artifact_http_parity(self, fiq_root, tiny_backbone,
                                         bpe_file, tmp_path):
         """`fashionern serve-artifact`: the artifact-backed HTTP daemon
