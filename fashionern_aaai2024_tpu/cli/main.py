@@ -148,6 +148,28 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--fold-bn", action="store_true")
     ex.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
 
+    rf = sub.add_parser(
+        "refresh-artifact",
+        help="republish an artifact's consts sidecar (weights + "
+             "gallery) from a retrained checkpoint WITHOUT re-exporting "
+             "the programs; optionally POST /reload to a running "
+             "serve-artifact daemon so it picks the blob up live")
+    _add_common(rf)
+    rf.add_argument("--clip-path", default=None)
+    rf.add_argument("--fusion-model-path", default=None)
+    rf.add_argument("--batch-size", default=32, type=int)
+    rf.add_argument("--split", default="val")
+    rf.add_argument("--artifact", required=True, help="artifact directory "
+                    "produced by `fashionern export`")
+    rf.add_argument("--quantize-gallery", action="store_true")
+    rf.add_argument("--quantize-towers", action="store_true")
+    rf.add_argument("--fold-bn", action="store_true")
+    rf.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    rf.add_argument("--reload-url", default=None,
+                    help="base URL of a running serve-artifact daemon "
+                         "(e.g. http://127.0.0.1:8080) to POST /reload "
+                         "after republishing")
+
     sa = sub.add_parser(
         "serve-artifact",
         help="serve an AOT-exported artifact over HTTP — the host needs "
@@ -495,6 +517,27 @@ def run_serve(args) -> None:
         pass
 
 
+def run_refresh_artifact(args) -> dict:
+    """`fashionern refresh-artifact`: rebuild the service from the
+    (retrained) checkpoint flags, republish the artifact's consts
+    sidecar in place, and optionally tell a running daemon to reload."""
+    from fashionern_aaai2024_tpu.retrieval.artifact import refresh_consts
+
+    service = build_service(args)
+    manifest = refresh_consts(args.artifact, service._serve_fn)
+    print(f"republished consts for {manifest['gallery_size']}-item "
+          f"gallery at {args.artifact}", flush=True)
+    if args.reload_url:
+        import urllib.request
+
+        req = urllib.request.Request(
+            args.reload_url.rstrip("/") + "/reload", b"{}",
+            {"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            print("daemon reload:", r.read().decode(), flush=True)
+    return manifest
+
+
 def run_serve_artifact(args) -> None:
     """`fashionern serve-artifact`: HTTP daemon over an AOT artifact.
 
@@ -669,6 +712,9 @@ def main(argv=None) -> int:
     if args.command == "export":
         manifest = run_export(args)
         print(json.dumps(manifest))
+        return 0
+    if args.command == "refresh-artifact":
+        run_refresh_artifact(args)
         return 0
     if args.command == "extract-patches":
         n = run_extract_patches(args)

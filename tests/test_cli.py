@@ -257,6 +257,46 @@ class TestExportArtifact:
         np.testing.assert_allclose([s for _, s in got],
                                    [s for _, s in want], rtol=1e-5)
 
+    def test_refresh_artifact_cli_republishes_and_reloads_daemon(
+            self, fiq_root, tiny_backbone, bpe_file, tmp_path):
+        """`fashionern refresh-artifact --reload-url ...`: republishes
+        the consts sidecar from the checkpoint flags and POSTs /reload
+        to the running daemon in one command."""
+        import threading
+        from types import SimpleNamespace
+
+        from fashionern_aaai2024_tpu.cli.main import (
+            run_export,
+            run_refresh_artifact,
+        )
+        from fashionern_aaai2024_tpu.retrieval.server import (
+            ArtifactService,
+            serve,
+        )
+
+        out = str(tmp_path / "artifact")
+        common = dict(
+            dataset="fashioniq", data_root=fiq_root,
+            clip_model_name=tiny_backbone, patch_num=13, num_workers=0,
+            target_ratio=1.25, transform="targetpad", bpe_path=bpe_file,
+            clip_path=None, fusion_model_path=None, batch_size=8,
+            split="val", quantize_towers=False, quantize_gallery=False,
+            precision="fp32",
+        )
+        run_export(SimpleNamespace(**common, out=out))
+        svc = ArtifactService(out, warmup=False)
+        srv = serve(svc, host="127.0.0.1", port=0, dynamic_batching=False)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        port = srv.server_address[1]
+
+        before = os.path.getmtime(os.path.join(out, "consts.npz"))
+        manifest = run_refresh_artifact(SimpleNamespace(
+            **common, artifact=out,
+            reload_url=f"http://127.0.0.1:{port}"))
+        assert manifest["kind"] == "fashionern-serve"
+        assert os.path.getmtime(os.path.join(out, "consts.npz")) >= before
+        srv.shutdown()
+
     def test_serve_artifact_parser_is_model_free(self):
         """The deploy-host subcommand takes only the artifact + HTTP
         flags — none of the dataset/model/checkpoint surface."""
