@@ -133,10 +133,11 @@ def build_parser() -> argparse.ArgumentParser:
     ex = sub.add_parser(
         "export",
         help="AOT-export the one-dispatch serve program (weights + "
-             "embedded gallery baked in as StableHLO constants) — a "
-             "serving host needs jax + the artifact dir, none of the "
-             "model code (reference deploys by re-importing the whole "
-             "repo per run/test/test_fiq.py)")
+             "embedded gallery ship in a swappable consts sidecar fed "
+             "to the programs as arguments) — a serving host needs jax "
+             "+ the artifact dir, none of the model code (reference "
+             "deploys by re-importing the whole repo per "
+             "run/test/test_fiq.py)")
     _add_common(ex)
     ex.add_argument("--clip-path", default=None)
     ex.add_argument("--fusion-model-path", default=None)
@@ -486,7 +487,8 @@ def run_export(args) -> dict:
     """`fashionern export`: AOT serving artifact (retrieval/artifact.py).
 
     Builds the same gallery-resident service as `serve`, then
-    serializes its one-dispatch program with weights + gallery baked in.
+    serializes its one-dispatch program, weights + gallery in the
+    swappable consts sidecar (see retrieval/artifact.py).
     """
     from fashionern_aaai2024_tpu.retrieval.artifact import export_serve_artifact
 

@@ -38,6 +38,7 @@ def blocked_top_k_similarity(
     gallery: jnp.ndarray,
     k: int = 51,
     chunk: int | None = None,
+    n_valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k cosine similarity of `queries` [Q,d] against `gallery` [N,d].
 
@@ -47,10 +48,18 @@ def blocked_top_k_similarity(
     distance). Returns (scores [Q,k] desc, indices [Q,k] int32).
     Ties broken by lower index first (matches stable argsort).
     `chunk=None` picks the largest memory-safe chunk (see _auto_chunk).
+
+    `n_valid` (traced scalar): rows >= n_valid are EXTERNAL padding —
+    masked to -inf before any top-k so a zero pad row (which scores 0,
+    above real negative-scoring rows) can never evict a real candidate.
+    Used by the mesh-sharded callers whose per-shard galleries carry the
+    global pad tail; invalid output slots have score -inf / index
+    int32-max.
     """
     q, d = queries.shape
     n = gallery.shape[0]
     k = min(k, n)
+    nv = n if n_valid is None else n_valid
     chunk = _auto_chunk(q, n) if chunk is None else min(chunk, n)
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
@@ -63,7 +72,7 @@ def blocked_top_k_similarity(
         gal_chunk, chunk_idx = gal_chunk_with_idx
         s = jnp.dot(qf, gal_chunk.astype(jnp.float32).T)  # [Q, chunk]
         col = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
-        s = jnp.where(col[None, :] < n, s, -jnp.inf)
+        s = jnp.where(col[None, :] < nv, s, -jnp.inf)
         cs, ci = jax.lax.top_k(s, min(k, chunk))
         cand_s = jnp.concatenate([best_s, cs], axis=1)
         cand_i = jnp.concatenate([best_i, col[ci]], axis=1)

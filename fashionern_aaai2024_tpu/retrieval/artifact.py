@@ -6,9 +6,12 @@ serving host and re-tracing the model in Python
 answer queries). The TPU-native answer is ahead-of-time export: the
 serve program (text encode → DVR query → gallery matmul → top-k, one
 dispatch — `evaluate.InferenceAPI.build_serve_fn`) is serialized to
-StableHLO with the trained weights AND the embedded gallery baked in as
-constants. A serving host needs jax + this artifact directory — none of
-the model code, checkpoints, dataset classes, or gallery images.
+StableHLO; the trained weights AND the embedded gallery ship alongside
+in ONE consts sidecar that every program takes as arguments (NOT baked
+constants — that keeps the blob swappable for a retrained checkpoint
+via `refresh_consts`, and avoids N buckets × full-blob duplication).
+A serving host needs jax + this artifact directory — none of the model
+code, checkpoints, dataset classes, or gallery images.
 
 Layout of an artifact directory:
 
@@ -116,7 +119,7 @@ def export_serve_artifact(serve_fn, out_dir: str, *,
         "artifact_version": ARTIFACT_VERSION,
         "kind": "fashionern-serve",
         "model_name": model_name,
-        "platform": __import__("jax").default_backend(),
+        "platform": jax.default_backend(),
         "buckets": list(serve_fn.buckets),
         "k_max": int(serve_fn.k_max),
         "context_length": int(ctx),
@@ -159,10 +162,7 @@ def refresh_consts(out_dir: str, serve_fn) -> dict:
     variables, gal, ref_f, ref_p = serve_fn.consts
     leaves, _ = jax.tree_util.tree_flatten((variables, gal, ref_f, ref_p))
     consts = {f"c{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    shapes = manifest.get("consts_shapes")
-    if shapes is None:  # pre-shape manifests: read shapes from the blob
-        z = np.load(os.path.join(out_dir, manifest["consts_file"]))
-        shapes = [list(z[f"c{i}"].shape) for i in range(len(z.files))]
+    shapes = manifest["consts_shapes"]
     if len(shapes) != len(consts):
         raise ValueError(
             f"new consts tree has {len(consts)} leaves, artifact expects "
@@ -173,8 +173,16 @@ def refresh_consts(out_dir: str, serve_fn) -> dict:
             raise ValueError(
                 f"const {k}: got {v.dtype}{list(v.shape)}, artifact "
                 f"expects {dt}{shp} — re-export")
-    np.savez(os.path.join(out_dir, manifest["consts_file"]),
-             **{k: _np_storable(v) for k, v in consts.items()})
+    # atomic republish: a kill mid-savez must not leave a truncated
+    # blob that bricks the daemon's next /reload (or any future load)
+    dest = os.path.join(out_dir, manifest["consts_file"])
+    tmp = dest + ".tmp.npz"  # .npz suffix so savez doesn't append one
+    try:
+        np.savez(tmp, **{k: _np_storable(v) for k, v in consts.items()})
+        os.replace(tmp, dest)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     return manifest
 
 
@@ -182,7 +190,7 @@ class ServeArtifact:
     """Loaded AOT serving artifact: `query(token_ids, rows, k)`.
 
     Mirrors the live serve fn's contract (pad to the smallest bucket
-    ≥ n, top-k over the baked gallery) without importing any model
+    ≥ n, top-k over the shipped gallery) without importing any model
     code — `Exported.call` re-stages the serialized StableHLO.
     """
 
@@ -219,9 +227,21 @@ class ServeArtifact:
         import jax
 
         z = np.load(os.path.join(self.dir, self.manifest["consts_file"]))
-        consts = jax.device_put([
-            _np_restore(z[f"c{i}"], d)
-            for i, d in enumerate(self.manifest["consts_dtypes"])])
+        dtypes = self.manifest["consts_dtypes"]
+        shapes = self.manifest["consts_shapes"]
+        if len(z.files) != len(dtypes):
+            raise ValueError(
+                f"republished blob has {len(z.files)} leaves, programs "
+                f"expect {len(dtypes)} — wrong artifact's consts?")
+        host = []
+        for i, (d, shp) in enumerate(zip(dtypes, shapes)):
+            x = _np_restore(z[f"c{i}"], d)
+            if list(x.shape) != shp:
+                raise ValueError(
+                    f"republished const c{i} has shape {list(x.shape)}, "
+                    f"programs expect {shp} — re-export instead")
+            host.append(x)
+        consts = jax.device_put(host)
         if self.manifest.get("names_file"):
             with open(os.path.join(self.dir,
                                    self.manifest["names_file"])) as f:

@@ -197,10 +197,14 @@ def sharded_search(
 
     def local_topk(q_rep, gal_shard):
         shard_id = jax.lax.axis_index("data")
-        s, i = blocked_top_k_similarity(q_rep, gal_shard, k=min(k, per), chunk=chunk)
+        # n_valid masks the global pad tail BEFORE the local top-k:
+        # zero pad rows score 0 and would otherwise evict real
+        # negative-scoring rows from the last shard's candidate set
+        n_valid = jnp.clip(n - shard_id * per, 0, per)
+        s, i = blocked_top_k_similarity(q_rep, gal_shard, k=min(k, per),
+                                        chunk=chunk, n_valid=n_valid)
         gi = i + shard_id * per
-        valid = gi < n
-        s = jnp.where(valid, s, -jnp.inf)
+        valid = s > -jnp.inf
         gi = jnp.where(valid, gi, jnp.iinfo(jnp.int32).max)
         s_all = jax.lax.all_gather(s, "data", axis=1, tiled=True)
         i_all = jax.lax.all_gather(gi, "data", axis=1, tiled=True)

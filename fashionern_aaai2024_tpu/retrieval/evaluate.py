@@ -239,8 +239,7 @@ class InferenceAPI:
 
         if mesh is None:
             mesh = self.mesh
-        gal = jnp.asarray(gallery_features, jnp.float32)
-        n_rows = int(gal.shape[0])
+        n_rows = int(gallery_features.shape[0])
         k_max = min(k_max, n_rows)
         model = self.model
         buckets = tuple(sorted(buckets))
@@ -252,8 +251,10 @@ class InferenceAPI:
                     "mesh-sharded serving needs the by-rows form "
                     "(pass ref_features/ref_patches)")
             return self._build_sharded_serve_fn(
-                mesh, gal, ref_features, ref_patches, k_max, buckets,
-                n_rows)
+                mesh, gallery_features, ref_features, ref_patches, k_max,
+                buckets, n_rows)
+
+        gal = jnp.asarray(gallery_features, jnp.float32)
 
         if by_rows:
             ref_f = jnp.asarray(ref_features, jnp.float32)
@@ -341,9 +342,12 @@ class InferenceAPI:
         k_local = min(k_max, per)
 
         def shard_rows(x):
-            x = jnp.asarray(x, jnp.float32)
-            x = jnp.pad(x, ((0, per * n_dev - n_rows),)
-                        + ((0, 0),) * (x.ndim - 1))
+            # pad on HOST (numpy) and device_put straight to the sharded
+            # layout — jnp.pad would materialize the full array on one
+            # device first, defeating the HBM-scaling purpose
+            x = np.asarray(x, np.float32)
+            x = np.pad(x, ((0, per * n_dev - n_rows),)
+                       + ((0, 0),) * (x.ndim - 1))
             return jax.device_put(
                 x, NamedSharding(mesh, P(DATA_AXIS,
                                          *([None] * (x.ndim - 1)))))
@@ -369,10 +373,15 @@ class InferenceAPI:
             pred = model.apply(
                 v, rf, rp, tg.astype(jnp.float32), ts.astype(jnp.float32),
                 method=model.query)
-            s, i = jax.lax.top_k(pred @ g.T, k_local)
+            scores = pred @ g.T
+            # mask pad rows BEFORE the local top-k: they score exactly 0
+            # (pred @ zero-rows) and would evict real negative-scoring
+            # rows from the last shard's candidate set
+            col_valid = start + jnp.arange(scores.shape[1]) < n_rows
+            scores = jnp.where(col_valid[None, :], scores, -jnp.inf)
+            s, i = jax.lax.top_k(scores, k_local)
             gi = i + start
-            valid = gi < n_rows  # padded gallery rows score 0 — mask
-            s = jnp.where(valid, s, -jnp.inf)
+            valid = s > -jnp.inf
             gi = jnp.where(valid, gi, jnp.iinfo(jnp.int32).max)
             s_all = jax.lax.all_gather(s, DATA_AXIS, axis=1, tiled=True)
             i_all = jax.lax.all_gather(gi, DATA_AXIS, axis=1, tiled=True)

@@ -37,7 +37,58 @@ from fashionern_aaai2024_tpu.retrieval import evaluate as E
 from fashionern_aaai2024_tpu.retrieval.engine import RetrievalIndex, embed_gallery
 
 
-class RetrievalService:
+class _ServiceBase:
+    """Shared request bookkeeping + response formatting for the live
+    and artifact-backed services (one copy of the latency buffer,
+    percentile stats, and per-row result building)."""
+
+    def _init_stats(self):
+        self.batcher = None  # attached by serve(dynamic_batching=True)
+        self._lock = threading.Lock()
+        self.request_count = 0
+        self._latencies: list[float] = []
+
+    def _record_latency(self, latency: float) -> None:
+        with self._lock:
+            self.request_count += 1
+            self._latencies.append(latency)
+            if len(self._latencies) > 10_000:
+                del self._latencies[:5_000]
+
+    @staticmethod
+    def _format_results(names, scores, idx, n: int):
+        return [
+            [{"name": str(names[idx[q, j]]), "score": float(scores[q, j])}
+             for j in range(idx.shape[1])]
+            for q in range(n)
+        ]
+
+    def stats(self) -> dict:
+        with self._lock:
+            count = self.request_count
+            lat = sorted(self._latencies)
+
+        def pct(p):
+            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2) \
+                if lat else None
+
+        out = {
+            "requests": count,
+            "gallery_size": self.gallery_size,
+            "startup_seconds": round(self.startup_seconds, 2),
+            "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
+                           "p99": pct(0.99)},
+        }
+        if self.batcher is not None:
+            out["dynamic_batching"] = {
+                "batches": self.batcher.batches_run,
+                "items": self.batcher.items_run,
+                "max_batch": self.batcher.max_batch,
+            }
+        return out
+
+
+class RetrievalService(_ServiceBase):
     """Gallery-resident composed retrieval around an InferenceAPI."""
 
     def __init__(self, api: E.InferenceAPI, classic_loader,
@@ -64,10 +115,7 @@ class RetrievalService:
             self._serve_fn.warmup()
         self.startup_seconds = time.time() - t0
         self.caption_join = caption_join or (lambda c: c)
-        self.batcher = None  # attached by serve(dynamic_batching=True)
-        self._lock = threading.Lock()
-        self.request_count = 0
-        self._latencies: list[float] = []
+        self._init_stats()
 
     @property
     def gallery_size(self) -> int:
@@ -98,46 +146,13 @@ class RetrievalService:
                 preds = self.api.query(ref_feats, ref_patch, tg, tseq)
                 scores, idx = self.index.search(preds, k=k_eff)
         latency = time.time() - t0
-        with self._lock:
-            self.request_count += 1
-            self._latencies.append(latency)
-            if len(self._latencies) > 10_000:
-                del self._latencies[:5_000]
+        self._record_latency(latency)
         names = np.asarray(self.gallery.names, dtype=object)
-        out = []
-        for q in range(len(ref_names)):
-            out.append([
-                {"name": str(names[idx[q, j]]), "score": float(scores[q, j])}
-                for j in range(idx.shape[1])
-            ])
-        return out, latency
-
-    def stats(self) -> dict:
-        with self._lock:
-            count = self.request_count
-            lat = sorted(self._latencies)
-
-        def pct(p):
-            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2) \
-                if lat else None
-
-        out = {
-            "requests": count,
-            "gallery_size": self.gallery_size,
-            "startup_seconds": round(self.startup_seconds, 2),
-            "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
-                           "p99": pct(0.99)},
-        }
-        if self.batcher is not None:
-            out["dynamic_batching"] = {
-                "batches": self.batcher.batches_run,
-                "items": self.batcher.items_run,
-                "max_batch": self.batcher.max_batch,
-            }
-        return out
+        return self._format_results(names, scores, idx, len(ref_names)), \
+            latency
 
 
-class ArtifactService:
+class ArtifactService(_ServiceBase):
     """RetrievalService facade over a loaded AOT artifact (no model code).
 
     Same HTTP surface (`query`/`stats`/`gallery_size`/`rows`) as the
@@ -178,10 +193,7 @@ class ArtifactService:
                                     np.zeros((b,), np.int32), k=1)
         self.startup_seconds = time.time() - t0
         self.caption_join = caption_join or (lambda c: c)
-        self.batcher = None
-        self._lock = threading.Lock()
-        self.request_count = 0
-        self._latencies: list[float] = []
+        self._init_stats()
 
     @property
     def gallery_size(self) -> int:
@@ -191,29 +203,24 @@ class ArtifactService:
               k: int = 10):
         if len(ref_names) != len(captions):
             raise ValueError("ref_names and captions length mismatch")
-        unknown = [r for r in ref_names if r not in self.rows]
-        if unknown:
-            raise KeyError(f"unknown reference image(s): {unknown[:5]}")
         t0 = time.time()
         caps = [self.caption_join(c) for c in captions]
-        rows = [self.rows[r] for r in ref_names]
+        # resolve rows, dispatch, and snapshot the row→name map under
+        # ONE lock hold: a concurrent /reload swaps rows/names/consts
+        # together, and indices computed against one gallery must never
+        # be decoded through another's names
         with self._lock:
+            unknown = [r for r in ref_names if r not in self.rows]
+            if unknown:
+                raise KeyError(f"unknown reference image(s): {unknown[:5]}")
+            rows = [self.rows[r] for r in ref_names]
             ids = self._tokenize(caps, self._ctx)
             scores, idx = self.artifact.query(ids, rows, k=k)
+            names = self._names
         latency = time.time() - t0
-        with self._lock:
-            self.request_count += 1
-            self._latencies.append(latency)
-            if len(self._latencies) > 10_000:
-                del self._latencies[:5_000]
-        out = []
-        for q in range(len(ref_names)):
-            out.append([
-                {"name": str(self._names[idx[q, j]]),
-                 "score": float(scores[q, j])}
-                for j in range(idx.shape[1])
-            ])
-        return out, latency
+        self._record_latency(latency)
+        return self._format_results(names, scores, idx, len(ref_names)), \
+            latency
 
     def reload(self) -> dict:
         """POST /reload: re-read the consts sidecar (weights + gallery
@@ -230,31 +237,11 @@ class ArtifactService:
                 "gallery_size": self.gallery_size}
 
     def stats(self) -> dict:
-        with self._lock:
-            count = self.request_count
-            lat = sorted(self._latencies)
-
-        def pct(p):
-            return round(lat[min(len(lat) - 1, int(p * len(lat)))] * 1e3, 2) \
-                if lat else None
-
-        out = {
-            "requests": count,
-            "gallery_size": self.gallery_size,
-            "startup_seconds": round(self.startup_seconds, 2),
-            "latency_ms": {"p50": pct(0.50), "p90": pct(0.90),
-                           "p99": pct(0.99)},
-            "artifact": {"dir": self.artifact.dir,
-                         "platform": self.artifact.manifest["platform"],
-                         "model_name": self.artifact.manifest.get(
-                             "model_name", "")},
-        }
-        if self.batcher is not None:
-            out["dynamic_batching"] = {
-                "batches": self.batcher.batches_run,
-                "items": self.batcher.items_run,
-                "max_batch": self.batcher.max_batch,
-            }
+        out = super().stats()
+        out["artifact"] = {"dir": self.artifact.dir,
+                           "platform": self.artifact.manifest["platform"],
+                           "model_name": self.artifact.manifest.get(
+                               "model_name", "")}
         return out
 
 

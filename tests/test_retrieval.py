@@ -48,6 +48,33 @@ class TestShardedSearch:
         scores, idx = engine.sharded_search(mesh, q, gal, k=20, chunk=32)
         np.testing.assert_array_equal(idx, want)
 
+    def test_pad_rows_cannot_evict_negative_scoring_rows(self, rng):
+        """Regression: the global pad tail lands on the LAST shard and
+        scores exactly 0 (q @ zero-row). When every real score is
+        negative, an unmasked local top-k would let pads evict the real
+        rows that belong in the global top-k. n=22 on an 8-mesh puts 1
+        real row + 2 pads on the last shard; that row is made the
+        global best."""
+        from fashionern_aaai2024_tpu.parallel import create_mesh
+
+        mesh = create_mesh(len(jax.devices()))
+        n_dev = mesh.devices.size
+        per = 3
+        n = per * (n_dev - 1) + 1  # last shard: 1 real row + per-1 pads
+        d = 16
+        q = _normed(rng, 2, d)
+        # every gallery row anti-aligned with both queries → all scores
+        # negative; the LAST row is least negative (the true top-1)
+        base = -(q[0] + q[1])
+        gal = np.stack([base * (1.0 + 0.01 * (n - i)) for i in range(n)])
+        gal = gal / np.linalg.norm(gal, axis=1, keepdims=True) \
+            * np.linspace(1.0, 0.5, n)[:, None]
+        want = np.argsort(-(q @ gal.T), axis=1, kind="stable")[:, :2]
+        scores, idx = engine.sharded_search(mesh, q, gal, k=2, chunk=32)
+        assert (scores < 0).all()  # the scenario is actually exercised
+        np.testing.assert_array_equal(idx, want)
+        assert n - 1 in idx[0]  # the last-shard row survived its pads
+
 
 class TestMetrics:
     def test_single_positive_recall(self):
