@@ -99,8 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--quantize-gallery", action="store_true",
                    help="int8 gallery for the top-k search (4x less HBM)")
     e.add_argument("--quantize-towers", action="store_true",
-                   help="int8 transformer-MLP matmuls (2x MXU rate on v5e; "
-                        "dynamic symmetric quant, same checkpoints)")
+                   help="int8 tower projections — MLP matmuls AND the "
+                        "attention qkv/out projections (attention math "
+                        "stays bf16); 2x MXU rate on v5e, dynamic "
+                        "symmetric quant, same checkpoints")
     e.add_argument("--fold-bn", action="store_true",
                    help="fold frozen BatchNorm into RN conv kernels at "
                         "weight load (numerics-identical; measured "

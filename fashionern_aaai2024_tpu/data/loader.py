@@ -161,6 +161,10 @@ class Loader:
                 if i + depth < len(batches):
                     pending.append(submit(batches[i + depth]))
                 yield self.collate([f.result() for f in pending[i]])
+                # release the consumed batch's futures — holding every
+                # completed future pins the whole epoch's decoded items
+                # in memory
+                pending[i] = None
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
             if holds_lock:

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from fashionern_aaai2024_tpu.ops.attention import (
-    attention_subblock, multi_head_attention,
+    multi_head_attention,
 )
 from fashionern_aaai2024_tpu.ops.block import transformer_block
 from fashionern_aaai2024_tpu.ops.layernorm import layer_norm
@@ -125,22 +125,14 @@ class ResidualAttentionBlock(nn.Module):
                 fc_bias, proj_kernel, proj_bias, h, causal=self.causal,
                 activation=self.activation,
             )
-        if head_dim == 64 and w % 128 == 0 and self.quantize_mlp:
+        if head_dim == 64 and w % 128 == 0:
             # int8 serving path: qkv + out PROJECTIONS run int8 (2× MXU
             # rate); the attention math stays bf16 — quantized q/k
-            # scores would compound error (ops/qmlp.py)
+            # scores would compound error (ops/qmlp.py). (quantize_mlp
+            # is necessarily True here: the non-quantized kernel-shape
+            # case returned via the whole-block tier above. The bf16
+            # attention_subblock tier lives inside transformer_block.)
             x = int8_attention_subblock(
-                x, ln1_scale, ln1_bias, in_proj_weight.T, in_proj_bias,
-                out_kernel, out_bias, h, causal=self.causal,
-            )
-        elif head_dim == 64 and w % 128 == 0:
-            # LN + QKV projection + attention + out-projection +
-            # residual in ONE kernel: neither the LN'd activations, the
-            # qkv tensor, the [B,H,S,Dh] layout, nor the attention
-            # output ever materialize in HBM (ops/attention.py dispatch
-            # notes; tiered fallback to the packed kernel / identical
-            # XLA formula off-TPU)
-            x = attention_subblock(
                 x, ln1_scale, ln1_bias, in_proj_weight.T, in_proj_bias,
                 out_kernel, out_bias, h, causal=self.causal,
             )
@@ -158,14 +150,14 @@ class ResidualAttentionBlock(nn.Module):
             o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
             x = x + (o @ out_kernel.astype(o.dtype) + out_bias.astype(o.dtype))
 
+        ln2_scale, ln2_bias = _LNParams(w, name="ln_2")()
+        fc_kernel, fc_bias = _DenseParams(w, 4 * w, name="c_fc")()
+        proj_kernel, proj_bias = _DenseParams(4 * w, w, name="c_proj")()
         if self.quantize_mlp:
             # int8 serving path (--quantize-towers): LN + both int8
             # matmuls + activation + residual fused into one kernel,
             # int8 weights VMEM-resident (ops/qmlp.py; identical-
             # semantics XLA fallback off-TPU)
-            ln2_scale, ln2_bias = _LNParams(w, name="ln_2")()
-            fc_kernel, fc_bias = _DenseParams(w, 4 * w, name="c_fc")()
-            proj_kernel, proj_bias = _DenseParams(4 * w, w, name="c_proj")()
             return int8_mlp_subblock(
                 x, ln2_scale, ln2_bias, fc_kernel, fc_bias, proj_kernel,
                 proj_bias, activation=self.activation,
@@ -174,9 +166,6 @@ class ResidualAttentionBlock(nn.Module):
         # the MLP is 2/3 of the block's FLOPs and its HBM traffic
         # (hidden [B,S,4W] round-trips) set the r2 trunk's 126-vs-197
         # TF/s gap (ops/mlp.py; identical-formula XLA fallback off-TPU)
-        ln2_scale, ln2_bias = _LNParams(w, name="ln_2")()
-        fc_kernel, fc_bias = _DenseParams(w, 4 * w, name="c_fc")()
-        proj_kernel, proj_bias = _DenseParams(4 * w, w, name="c_proj")()
         return mlp_subblock(
             x, ln2_scale, ln2_bias, fc_kernel, fc_bias, proj_kernel,
             proj_bias, activation=self.activation,

@@ -29,6 +29,12 @@ from fashionern_aaai2024_tpu.models.ern.layers import (
     torch_normalize,
     xavier_uniform,
 )
+from fashionern_aaai2024_tpu.models.clip.transformer import (
+    # nn.Dense-compatible param holder (kernel [in,out] lecun + zeros
+    # bias — identical checkpoint tree, raw kernels accessible for
+    # packed-QKV fusion); shared with the CLIP towers
+    _DenseParams as _BertDense,
+)
 from fashionern_aaai2024_tpu.ops.attention import (
     fused_qkv_self_attention, multi_head_attention,
 )
@@ -112,19 +118,6 @@ class VisualSR(nn.Module):
         return sr_l2norm(new_global)
 
 
-class _BertDense(nn.Module):
-    """Param holder with nn.Dense's tree names/init (kernel [in,out],
-    bias) — the checkpoint tree is identical to the nn.Dense modules it
-    replaces, but the raw kernels are accessible for packed-QKV fusion."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        return (self.param("kernel", nn.initializers.lecun_normal(),
-                           (self.in_features, self.features)),
-                self.param("bias", nn.initializers.zeros, (self.features,)))
 
 
 class BertLayer(nn.Module):

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fashionern_aaai2024_tpu.ops.common import use_pallas
 from fashionern_aaai2024_tpu.ops.mlp import _act_f32
 
 _NEG_INF = -1e30
@@ -197,7 +196,6 @@ def transformer_block(
     dh = w // heads
     if scale is None:
         scale = dh ** -0.5
-    weight_bytes = (w * 3 * w + w * w + 2 * w * f) * 2
     if force_pallas is None:
         # Measured, final position (r3 ledger, v5e, text-tower shapes
         # [B,77,512] causal bf16): the whole-block kernel TIES the
@@ -212,8 +210,10 @@ def transformer_block(
         pick = False
     else:
         pick = force_pallas
-    if pick and weight_bytes > _WEIGHT_BUDGET:
-        pick = False
+    if pick:  # resident-weight budget only matters on the kernel path
+        weight_bytes = (w * 3 * w + w * w + 2 * w * f) * 2
+        if weight_bytes > _WEIGHT_BUDGET:
+            pick = False
     if not pick:
         from fashionern_aaai2024_tpu.ops.attention import attention_subblock
         from fashionern_aaai2024_tpu.ops.mlp import mlp_subblock

@@ -254,11 +254,35 @@ class InferenceAPI:
                 mesh, gallery_features, ref_features, ref_patches, k_max,
                 buckets, n_rows)
 
-        gal = jnp.asarray(gallery_features, jnp.float32)
+        feat_dim = int(gallery_features.shape[1])
+        quantized = self.quantize_gallery
+        if quantized:
+            # honor --quantize-gallery on the FAST path too: score via
+            # int8 x int8 MXU dot with per-row rescale — the same math
+            # as RetrievalIndex.search's quantized tier, so small-k
+            # (fused) and large-k (fallback) answers agree, and the
+            # fp32 score-matrix copy never lands on the device
+            from fashionern_aaai2024_tpu.ops.quant import quantize_rows
+
+            gal = quantize_rows(jnp.asarray(gallery_features, jnp.float32))
+        else:
+            gal = jnp.asarray(gallery_features, jnp.float32)
 
         if by_rows:
             ref_f = jnp.asarray(ref_features, jnp.float32)
             ref_p = jnp.asarray(ref_patches, jnp.float32)
+
+        def score_rows(pred, g):
+            if not quantized:
+                return pred @ g.T
+            from fashionern_aaai2024_tpu.ops.quant import quantize_rows
+
+            gq, gs = g
+            qv, qs = quantize_rows(pred)
+            acc = jax.lax.dot_general(
+                qv, gq, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * qs[:, None] * gs[None, :]
 
         def body(v, g, ids, rf, rp):
             tg, ts = model.apply(v, ids, method=model.encode_text)
@@ -266,8 +290,7 @@ class InferenceAPI:
                 v, rf.astype(jnp.float32), rp.astype(jnp.float32),
                 tg.astype(jnp.float32), ts.astype(jnp.float32),
                 method=model.query)
-            scores = pred @ g.T
-            return jax.lax.top_k(scores, k_max)
+            return jax.lax.top_k(score_rows(pred, g), k_max)
 
         if by_rows:
             def fn(v, g, gf, gp, ids, rows):
@@ -279,8 +302,14 @@ class InferenceAPI:
 
         def serve(token_ids, ref, ref_patch=None, k: int = 10):
             n = token_ids.shape[0]
-            b = next((x for x in buckets if x >= n),
-                     -(-n // buckets[-1]) * buckets[-1])
+            b = next((x for x in buckets if x >= n), None)
+            if b is None:
+                # fail fast: an uncompiled size class would trigger a
+                # full serve-program compile at REQUEST time under the
+                # service lock, stalling all traffic for its duration
+                raise ValueError(
+                    f"batch {n} exceeds the largest compile bucket "
+                    f"{buckets[-1]}; split the request")
             ids = _pad_rows(np.asarray(token_ids), b)
             if by_rows:
                 rows = np.zeros((b,), np.int32)
@@ -294,14 +323,14 @@ class InferenceAPI:
             return np.asarray(s[:n, :k]), np.asarray(i[:n, :k])
 
         def warmup():
-            d = gal.shape[1]
             for b in buckets:
                 ids = np.zeros((b, self.context_length), np.int32)
                 if by_rows:
                     serve(ids, np.zeros((b,), np.int32), k=1)
                 else:
-                    serve(ids, np.zeros((b, d), np.float32),
-                          np.zeros((b, patch_num, d), np.float32), k=1)
+                    serve(ids, np.zeros((b, feat_dim), np.float32),
+                          np.zeros((b, patch_num, feat_dim), np.float32),
+                          k=1)
 
         serve.warmup = warmup
         serve.k_max = k_max
@@ -340,19 +369,37 @@ class InferenceAPI:
         n_dev = mesh.shape[DATA_AXIS]
         per = -(-n_rows // n_dev)
         k_local = min(k_max, per)
+        quantized = self.quantize_gallery
 
         def shard_rows(x):
             # pad on HOST (numpy) and device_put straight to the sharded
             # layout — jnp.pad would materialize the full array on one
             # device first, defeating the HBM-scaling purpose
-            x = np.asarray(x, np.float32)
+            x = np.asarray(x)
+            if x.dtype != np.int8:
+                x = x.astype(np.float32)
             x = np.pad(x, ((0, per * n_dev - n_rows),)
                        + ((0, 0),) * (x.ndim - 1))
             return jax.device_put(
                 x, NamedSharding(mesh, P(DATA_AXIS,
                                          *([None] * (x.ndim - 1)))))
 
-        gal_sh = shard_rows(gal)
+        if quantized:
+            # per-row int8 (host-side numpy — row scales shard trivially
+            # along the same axis); pad scales with 0 so pad rows score 0
+            # before the pre-top-k mask removes them anyway
+            g32 = np.asarray(gal, np.float32)
+            absmax = np.abs(g32).max(axis=1)
+            scales = np.where(absmax > 0, absmax / 127.0, 1.0) \
+                .astype(np.float32)
+            gq = np.clip(np.round(g32 / scales[:, None]), -127, 127) \
+                .astype(np.int8)
+            gal_sh = (shard_rows(gq),
+                      jax.device_put(
+                          np.pad(scales, (0, per * n_dev - n_rows)),
+                          NamedSharding(mesh, P(DATA_AXIS))))
+        else:
+            gal_sh = shard_rows(gal)
         ref_f = shard_rows(ref_features)
         ref_p = shard_rows(ref_patches)
 
@@ -373,7 +420,17 @@ class InferenceAPI:
             pred = model.apply(
                 v, rf, rp, tg.astype(jnp.float32), ts.astype(jnp.float32),
                 method=model.query)
-            scores = pred @ g.T
+            if quantized:  # same int8 math as the single-device path
+                from fashionern_aaai2024_tpu.ops.quant import quantize_rows
+
+                gq, gs = g
+                qv, qs = quantize_rows(pred)
+                acc = jax.lax.dot_general(
+                    qv, gq, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                scores = acc.astype(jnp.float32) * qs[:, None] * gs[None, :]
+            else:
+                scores = pred @ g.T
             # mask pad rows BEFORE the local top-k: they score exactly 0
             # (pred @ zero-rows) and would evict real negative-scoring
             # rows from the last shard's candidate set
@@ -387,9 +444,11 @@ class InferenceAPI:
             i_all = jax.lax.all_gather(gi, DATA_AXIS, axis=1, tiled=True)
             return merge_top_k(s_all, i_all, k_max)
 
+        gal_spec = ((P(DATA_AXIS, None), P(DATA_AXIS)) if quantized
+                    else P(DATA_AXIS, None))
         jfn = jax.jit(jax.shard_map(
             local_body, mesh=mesh,
-            in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
+            in_specs=(P(), gal_spec, P(DATA_AXIS, None),
                       P(DATA_AXIS, None, None), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
@@ -397,8 +456,11 @@ class InferenceAPI:
 
         def serve(token_ids, ref, ref_patch=None, k: int = 10):
             n = token_ids.shape[0]
-            b = next((x for x in buckets if x >= n),
-                     -(-n // buckets[-1]) * buckets[-1])
+            b = next((x for x in buckets if x >= n), None)
+            if b is None:  # same fail-fast as the single-device serve
+                raise ValueError(
+                    f"batch {n} exceeds the largest compile bucket "
+                    f"{buckets[-1]}; split the request")
             ids = _pad_rows(np.asarray(token_ids), b)
             rows = np.zeros((b,), np.int32)
             rows[:n] = np.asarray(ref, np.int32)

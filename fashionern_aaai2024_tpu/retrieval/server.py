@@ -273,6 +273,13 @@ class MicroBatcher:
         if ref_name not in self.service.rows:
             # fail fast without poisoning the batch
             raise KeyError(f"unknown reference image(s): ['{ref_name}']")
+        k_cap = getattr(self.service._serve_fn, "k_max", None)
+        if k_cap is not None and int(k) > k_cap:
+            # a large-k request runs on the multi-dispatch fallback;
+            # coalescing it would drag every waiter in the batch off
+            # the fused fast path (batch k is max over its items)
+            out, latency = self.service.query([ref_name], [caption], k=k)
+            return out[0], latency
         slot: dict = {"event": threading.Event()}
         with self._cv:
             if self._stop:

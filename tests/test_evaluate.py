@@ -313,6 +313,30 @@ class TestMeshShardedInference:
         # padded gallery rows (21→24) must never appear in the top-k
         assert int(np.max(i2)) < n
 
+    def test_sharded_quantized_serve_matches_single_device(self, api):
+        """--quantize-gallery + --data-parallel: the int8-scored sharded
+        program answers identically to the int8 single-device one."""
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+
+        api_q = E.InferenceAPI(api.model, api.variables, batch_size=8,
+                               context_length=16, tokenizer=fake_tokenizer,
+                               quantize_gallery=True)
+        g = np.random.default_rng(5)
+        n = 21
+        gal = g.standard_normal((n, DIM)).astype(np.float32)
+        ref_f = g.standard_normal((n, DIM)).astype(np.float32)
+        ref_p = g.standard_normal((n, 13, DIM)).astype(np.float32)
+        plain = api_q.build_serve_fn(gal, k_max=7, buckets=(4,),
+                                     ref_features=ref_f, ref_patches=ref_p)
+        sharded = api_q.build_serve_fn(gal, k_max=7, buckets=(4,),
+                                       ref_features=ref_f, ref_patches=ref_p,
+                                       mesh=create_mesh(8))
+        ids = fake_tokenizer(["is red", "blue dress"], 16)
+        s1, i1 = plain(ids, [0, 20], k=7)
+        s2, i2 = sharded(ids, [0, 20], k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+
     def test_sharded_serve_fn_not_exportable(self, api):
         """The AOT exporter refuses mesh programs (the serialization
         would pin the device count) with an actionable message."""
@@ -330,6 +354,37 @@ class TestMeshShardedInference:
             mesh=create_mesh(8))
         with pytest.raises(ValueError, match="not exportable"):
             export_serve_artifact(sharded, "/tmp/should_not_exist")
+
+
+class TestQuantizedServeConsistency:
+    def test_fused_path_matches_int8_index(self, api):
+        """--quantize-gallery: the one-dispatch serve program scores via
+        the same int8 math as RetrievalIndex.search's quantized tier, so
+        small-k (fused) and large-k (index fallback) answers agree —
+        and the serve path no longer keeps an fp32 score-matrix copy."""
+        from fashionern_aaai2024_tpu.retrieval.engine import RetrievalIndex
+
+        api_q = E.InferenceAPI(api.model, api.variables, batch_size=8,
+                               context_length=16, tokenizer=fake_tokenizer,
+                               quantize_gallery=True)
+        g = np.random.default_rng(6)
+        n = 16
+        gal = g.standard_normal((n, DIM)).astype(np.float32)
+        ref_f = g.standard_normal((n, DIM)).astype(np.float32)
+        ref_p = g.standard_normal((n, 13, DIM)).astype(np.float32)
+        serve = api_q.build_serve_fn(gal, k_max=5, buckets=(4,),
+                                     ref_features=ref_f, ref_patches=ref_p)
+        ids = fake_tokenizer(["is red", "blue dress"], 16)
+        rows = [0, 9]
+        s, i = serve(ids, rows, k=5)
+
+        tg, ts = api_q.encode_text(ids)
+        pred = api_q.query(ref_f[rows], ref_p[rows], tg, ts)
+        index = RetrievalIndex([f"g{j}" for j in range(n)], gal,
+                               quantize=True)
+        so, io = index.search(pred, k=5)
+        np.testing.assert_array_equal(i, io)
+        np.testing.assert_allclose(s, so, rtol=1e-5, atol=1e-5)
 
 
 class TestBf16ServingPath:
