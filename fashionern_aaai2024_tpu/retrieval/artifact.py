@@ -123,8 +123,11 @@ def export_serve_artifact(serve_fn, out_dir: str, *,
         "buckets": list(serve_fn.buckets),
         "k_max": int(serve_fn.k_max),
         "context_length": int(ctx),
-        "gallery_size": int(gal.shape[0]),
-        "feature_dim": int(gal.shape[1]),
+        # quantize_gallery services carry (int8 values, fp32 row scales)
+        "gallery_size": int((gal[0] if isinstance(gal, tuple)
+                             else gal).shape[0]),
+        "feature_dim": int((gal[0] if isinstance(gal, tuple)
+                            else gal).shape[1]),
         "files": files,
         "consts_file": "consts.npz",
         "consts_dtypes": dtypes,

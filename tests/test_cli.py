@@ -257,6 +257,39 @@ class TestExportArtifact:
         np.testing.assert_allclose([s for _, s in got],
                                    [s for _, s in want], rtol=1e-5)
 
+    def test_quantized_gallery_export_roundtrip(
+            self, fiq_root, tiny_backbone, bpe_file, tmp_path):
+        """`export --quantize-gallery`: the int8 gallery (values +
+        per-row scales) travels in the consts sidecar and the reloaded
+        artifact answers like the live quantized service."""
+        from types import SimpleNamespace
+
+        from fashionern_aaai2024_tpu.cli.main import build_service, run_export
+        from fashionern_aaai2024_tpu.retrieval.artifact import (
+            load_serve_artifact,
+        )
+
+        out = str(tmp_path / "artifact")
+        args = SimpleNamespace(
+            dataset="fashioniq", data_root=fiq_root,
+            clip_model_name=tiny_backbone, patch_num=13, num_workers=0,
+            target_ratio=1.25, transform="targetpad", bpe_path=bpe_file,
+            clip_path=None, fusion_model_path=None, batch_size=8,
+            split="val", quantize_towers=False, quantize_gallery=True,
+            out=out, precision="fp32",
+        )
+        manifest = run_export(args)
+        assert "int8" in manifest["consts_dtypes"]  # quantized gallery leaf
+        service = build_service(args)
+        ref = service.gallery.names[0]
+        live = service.query([ref], ["is red"], k=3)[0][0]
+        art = load_serve_artifact(out)
+        ids = service.api.tokenize(["is red"])
+        scores, rows = art.query(ids, [art.row_for(ref)], k=3)
+        assert [art.names[r] for r in rows[0]] == [r["name"] for r in live]
+        np.testing.assert_allclose(scores[0], [r["score"] for r in live],
+                                   rtol=1e-5)
+
     def test_refresh_artifact_cli_republishes_and_reloads_daemon(
             self, fiq_root, tiny_backbone, bpe_file, tmp_path):
         """`fashionern refresh-artifact --reload-url ...`: republishes
