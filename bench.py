@@ -105,11 +105,20 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    try:
-        main()
-    except Exception:  # transient tunnel/compile-service failures
-        import traceback
+    # the axon tunnel / remote compile service has outages measured in
+    # minutes (r3: one ~2h window); retry with growing backoff so a
+    # transient outage at bench time doesn't record a failed round
+    for attempt, delay in enumerate((20, 60, 180, 420)):
+        try:
+            main()
+            break
+        except Exception:  # transient tunnel/compile-service failures
+            import sys
+            import traceback
 
-        traceback.print_exc()
-        time.sleep(20)
-        main()
+            traceback.print_exc()
+            print(f"bench attempt {attempt + 1} failed; retrying in "
+                  f"{delay}s", file=sys.stderr, flush=True)
+            time.sleep(delay)
+    else:
+        main()  # final attempt propagates its error
