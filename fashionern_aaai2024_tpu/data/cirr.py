@@ -10,10 +10,9 @@ from __future__ import annotations
 import json
 import os
 
-from PIL import Image
 
 from fashionern_aaai2024_tpu.data.patch_store import PatchFeatureStore
-from fashionern_aaai2024_tpu.data.transforms import preprocess_image
+from fashionern_aaai2024_tpu.data.transforms import load_and_preprocess
 
 
 class CIRRDataset:
@@ -53,8 +52,7 @@ class CIRRDataset:
 
     def _image(self, name: str):
         path = os.path.join(self.root, self.name_to_relpath[name])
-        with Image.open(path) as img:
-            return preprocess_image(img, self.dim, self.pad_mode, self.target_ratio)
+        return load_and_preprocess(path, self.dim, self.pad_mode, self.target_ratio)
 
     def __getitem__(self, index: int) -> dict:
         try:

@@ -22,10 +22,9 @@ import random
 from typing import Callable
 
 import numpy as np
-from PIL import Image
 
 from fashionern_aaai2024_tpu.data.captions import caption_post_process, get_different_word
-from fashionern_aaai2024_tpu.data.transforms import preprocess_image
+from fashionern_aaai2024_tpu.data.transforms import load_and_preprocess
 
 
 def _default_patch_path(img_path: str) -> str:
@@ -75,9 +74,9 @@ class _Fashion200kBase:
                     )
 
     def _image(self, file_path: str):
-        with open(os.path.join(self.root, file_path), "rb") as f:
-            img = Image.open(f).convert("RGB")
-            return preprocess_image(img, self.dim, self.pad_mode, self.target_ratio)
+        return load_and_preprocess(
+            os.path.join(self.root, file_path), self.dim, self.pad_mode,
+            self.target_ratio, rgb_first=True)
 
     def _patch(self, file_path: str) -> np.ndarray:
         return _load_patch(self.patch_path_map(os.path.join(self.root, file_path)))

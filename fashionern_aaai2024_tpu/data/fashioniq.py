@@ -17,10 +17,9 @@ import json
 import os
 from typing import Sequence
 
-from PIL import Image
 
 from fashionern_aaai2024_tpu.data.patch_store import PatchFeatureStore
-from fashionern_aaai2024_tpu.data.transforms import preprocess_image
+from fashionern_aaai2024_tpu.data.transforms import load_and_preprocess
 
 DRESS_TYPES = ("dress", "shirt", "toptee")
 
@@ -85,8 +84,7 @@ class FashionIQDataset:
 
     def _image(self, name: str):
         path = os.path.join(self.root, self.image_dir, name + self.image_ext)
-        with Image.open(path) as img:
-            return preprocess_image(img, self.dim, self.pad_mode, self.target_ratio)
+        return load_and_preprocess(path, self.dim, self.pad_mode, self.target_ratio)
 
     def __getitem__(self, index: int) -> dict:
         try:

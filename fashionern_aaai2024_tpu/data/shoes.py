@@ -11,10 +11,9 @@ from __future__ import annotations
 import json
 import os
 
-from PIL import Image
 
 from fashionern_aaai2024_tpu.data.patch_store import PatchFeatureStore
-from fashionern_aaai2024_tpu.data.transforms import preprocess_image
+from fashionern_aaai2024_tpu.data.transforms import load_and_preprocess
 
 
 def _stem(path: str) -> str:
@@ -52,8 +51,9 @@ class ShoesDataset:
                 self.annotations = json.load(f)
 
     def _image(self, relpath: str):
-        with Image.open(os.path.join(self.root, relpath)) as img:
-            return preprocess_image(img, self.dim, self.pad_mode, self.target_ratio)
+        return load_and_preprocess(
+            os.path.join(self.root, relpath), self.dim, self.pad_mode,
+            self.target_ratio)
 
     def __getitem__(self, index: int) -> dict:
         try:

@@ -98,6 +98,47 @@ def preprocess_image(
     return np.asarray(image.convert("RGB"), np.float32) / 255.0
 
 
+def load_and_preprocess(
+    path: str,
+    dim: int,
+    pad_mode: str = "target",
+    target_ratio: float = 1.25,
+    normalize: bool = True,
+    rgb_first: bool = False,
+) -> np.ndarray:
+    """Decode + preprocess straight from a file path → float32 [dim, dim, 3].
+
+    `rgb_first` converts to RGB before the geometry in the PIL fallback
+    (Fashion200k's reference ordering, `fashion200k_patch.py:116`); for
+    the JPEG modes the native path handles (gray/RGB), convert-first and
+    convert-last are pixel-identical, so the flag only matters for the
+    exotic fallback inputs.
+
+    Baseline/progressive gray/RGB JPEGs take the native C pipeline
+    (fastimage.cpp: libjpeg decode + Pillow-exact fixed-point bicubic +
+    fused pad/crop/normalize — bit-identical to the PIL path, pinned by
+    tests/test_native_image.py, GIL-free under thread workers). Anything
+    else (PNG, CMYK JPEG, corrupt tail, missing toolchain) falls back to
+    the PIL pipeline above. `FASHIONERN_NO_NATIVE=1` disables the fast
+    path entirely.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    from fashionern_aaai2024_tpu.native import image as native_image
+
+    if native_image.is_jpeg(data):
+        out = native_image.decode_preprocess(
+            data, dim, pad_mode, target_ratio, normalize)
+        if out is not None:
+            return out
+    import io
+
+    with Image.open(io.BytesIO(data)) as img:
+        if rgb_first:
+            img = img.convert("RGB")
+        return preprocess_image(img, dim, pad_mode, target_ratio, normalize)
+
+
 def targetpad_transform(target_ratio: float = 1.25, dim: int = 288):
     """Callable mirroring reference `targetpad_transform` (`dataset.py:73-87`)."""
     return lambda img: preprocess_image(img, dim, "target", target_ratio)

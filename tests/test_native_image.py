@@ -1,0 +1,167 @@
+"""Native image pipeline (native/fastimage.cpp) parity vs PIL.
+
+The native path's contract is BIT-EXACTNESS with the PIL pipeline the
+reference uses (`dataloader/dataset.py:57-87`): same libjpeg-turbo
+islow decode, and a reimplementation of Pillow's fixed-point bicubic
+resampler (Resample.c) that must agree to the last u8. Every test here
+asserts exact equality, not closeness.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fashionern_aaai2024_tpu.data.transforms import (
+    load_and_preprocess,
+    preprocess_image,
+)
+from fashionern_aaai2024_tpu.native import image as nimg
+
+pytestmark = pytest.mark.skipif(
+    not nimg.available(), reason="native image library unavailable"
+)
+
+
+def _jpeg_bytes(arr: np.ndarray, quality: int = 90, **save_kw) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=quality, **save_kw)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestDecodeParity:
+    def test_baseline_rgb(self, rng):
+        for shape in ((360, 300), (123, 457), (41, 33), (1, 1)):
+            arr = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+            data = _jpeg_bytes(arr)
+            pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            nat = nimg.decode_jpeg(data)
+            assert nat is not None and np.array_equal(pil, nat), shape
+
+    def test_progressive(self, rng):
+        arr = rng.integers(0, 256, (97, 211, 3), dtype=np.uint8)
+        data = _jpeg_bytes(arr, progressive=True)
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.array_equal(pil, nimg.decode_jpeg(data))
+
+    def test_grayscale_replicates(self, rng):
+        arr = rng.integers(0, 256, (100, 80), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, "L").save(buf, "JPEG", quality=90)
+        data = buf.getvalue()
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        assert np.array_equal(pil, nimg.decode_jpeg(data))
+
+    def test_subsampling_modes(self, rng):
+        arr = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+        for ss in (0, 1, 2):  # 4:4:4, 4:2:2, 4:2:0
+            data = _jpeg_bytes(arr, subsampling=ss)
+            pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            assert np.array_equal(pil, nimg.decode_jpeg(data)), ss
+
+    def test_rejects_garbage(self):
+        assert nimg.decode_jpeg(b"not a jpeg") is None
+        assert nimg.decode_jpeg(b"\xff\xd8\xff\xe0 truncated") is None
+
+    def test_rejects_cmyk(self, rng):
+        arr = rng.integers(0, 256, (32, 32, 4), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr, "CMYK").save(buf, "JPEG", quality=90)
+        assert nimg.decode_jpeg(buf.getvalue()) is None
+
+
+class TestResizeParity:
+    """Pillow-exact fixed-point bicubic: up/down/identity/asymmetric."""
+
+    @pytest.mark.parametrize(
+        "in_shape,out_size",
+        [
+            ((360, 300), (269, 224)),   # reference targetpad geometry
+            ((77, 191), (288, 288)),
+            ((224, 224), (16, 16)),     # heavy downscale (antialias taps)
+            ((31, 500), (500, 100)),
+            ((50, 60), (60, 50)),       # identity width after transpose-ish
+            ((40, 40), (40, 80)),       # identity horizontal pass
+            ((40, 40), (80, 40)),       # identity vertical pass
+        ],
+    )
+    def test_rgb(self, rng, in_shape, out_size):
+        src = rng.integers(0, 256, in_shape + (3,), dtype=np.uint8)
+        ow, oh = out_size
+        pil = np.asarray(Image.fromarray(src).resize((ow, oh), Image.BICUBIC))
+        assert np.array_equal(pil, nimg.resize_bicubic(src, ow, oh))
+
+    def test_single_channel(self, rng):
+        src = rng.integers(0, 256, (123, 77), dtype=np.uint8)
+        pil = np.asarray(Image.fromarray(src, "L").resize((45, 201), Image.BICUBIC))
+        assert np.array_equal(pil, nimg.resize_bicubic(src, 45, 201))
+
+
+class TestPipelineParity:
+    @pytest.mark.parametrize("pad", ["target", "square", "none"])
+    @pytest.mark.parametrize("dim", [224, 288])
+    def test_full_pipeline(self, rng, pad, dim):
+        for shape in ((360, 300), (450, 300), (100, 437)):
+            arr = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+            data = _jpeg_bytes(arr, quality=92)
+            pil = preprocess_image(Image.open(io.BytesIO(data)), dim, pad)
+            nat = nimg.decode_preprocess(data, dim, pad)
+            assert nat is not None
+            assert np.array_equal(pil, nat), (shape, pad, dim)
+
+    def test_no_normalize_u8(self, rng):
+        arr = rng.integers(0, 256, (300, 360, 3), dtype=np.uint8)
+        data = _jpeg_bytes(arr)
+        pil = preprocess_image(
+            Image.open(io.BytesIO(data)), 224, "target", normalize=False)
+        nat = nimg.decode_preprocess(data, 224, "target", normalize=False)
+        assert nat.dtype == np.uint8
+        assert np.array_equal((pil * 255).round().astype(np.uint8), nat)
+
+    def test_batch_matches_per_item_and_flags_failures(self, rng):
+        items = []
+        for _ in range(5):
+            h, w = int(rng.integers(40, 400)), int(rng.integers(40, 400))
+            items.append(_jpeg_bytes(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8), quality=85))
+        items.append(b"not a jpeg")
+        batch, statuses = nimg.decode_preprocess_batch(items, 224, "target")
+        assert statuses[:5].tolist() == [0] * 5
+        assert statuses[5] != 0
+        assert float(np.abs(batch[5]).sum()) == 0.0
+        for i, data in enumerate(items[:5]):
+            assert np.array_equal(nimg.decode_preprocess(data, 224, "target"),
+                                  batch[i])
+
+    def test_load_and_preprocess_dispatch(self, rng, tmp_path):
+        """The dataset-facing loader: native for JPEG, PIL for PNG,
+        identical output either way."""
+        arr = rng.integers(0, 256, (360, 300, 3), dtype=np.uint8)
+        jpg = tmp_path / "a.jpg"
+        jpg.write_bytes(_jpeg_bytes(arr))
+        png = tmp_path / "a.png"
+        Image.fromarray(arr).save(png)
+
+        out_jpg = load_and_preprocess(str(jpg), 224, "target")
+        with Image.open(jpg) as img:
+            assert np.array_equal(out_jpg, preprocess_image(img, 224, "target"))
+        out_png = load_and_preprocess(str(png), 224, "target")
+        with Image.open(png) as img:
+            assert np.array_equal(out_png, preprocess_image(img, 224, "target"))
+
+    def test_load_and_preprocess_rgb_first(self, rng, tmp_path):
+        """Fashion200k's convert-before-geometry ordering is preserved
+        in the PIL fallback (palette PNG where ordering matters)."""
+        arr = rng.integers(0, 256, (60, 90, 3), dtype=np.uint8)
+        p = tmp_path / "p.png"
+        Image.fromarray(arr).convert("P", palette=Image.ADAPTIVE).save(p)
+        out = load_and_preprocess(str(p), 32, "target", rgb_first=True)
+        with Image.open(p) as img:
+            ref = preprocess_image(img.convert("RGB"), 32, "target")
+        assert np.array_equal(out, ref)
