@@ -36,19 +36,20 @@ def build_dataset(root: str, n: int) -> None:
 class JpegDataset:
     """Reference-shaped item: targetpad-preprocessed image + patch feats."""
 
-    def __init__(self, root: str, n: int):
-        from fashionern_aaai2024_tpu.data.transforms import preprocess_image
+    def __init__(self, root: str, n: int, as_uint8: bool = False):
         self.root, self.n = root, n
-        self._pp = preprocess_image
+        self.as_uint8 = as_uint8
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, i):
-        from PIL import Image
+        # production path: native C decode for JPEG, PIL otherwise
+        from fashionern_aaai2024_tpu.data.transforms import load_and_preprocess
 
-        with Image.open(os.path.join(self.root, "images", f"img{i}.jpg")) as im:
-            img = self._pp(im, 224, "target", 1.25)
+        img = load_and_preprocess(
+            os.path.join(self.root, "images", f"img{i}.jpg"), 224, "target",
+            1.25, as_uint8=self.as_uint8)
         patch = np.load(os.path.join(self.root, "patches", f"img{i}.npy"))
         return {"image": img, "patch": patch, "name": f"img{i}"}
 
@@ -75,6 +76,12 @@ def main():
             measure(loader)  # warm page cache
             rate = measure(loader)
             print(f"{wt:8s} workers={nw}: {rate:8.1f} samples/sec")
+        # u8 feed: raw-pixel items (normalize happens on device) — 4x
+        # smaller items through decode/collate
+        loader = Loader(JpegDataset(root, n, as_uint8=True), 128,
+                        num_workers=0, worker_type="thread")
+        measure(loader)
+        print(f"thread   workers=0 (uint8 feed): {measure(loader):8.1f} samples/sec")
 
 
 if __name__ == "__main__":

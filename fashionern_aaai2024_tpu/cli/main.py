@@ -39,6 +39,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--target-ratio", default=1.25, type=float)
     p.add_argument("--transform", default="targetpad",
                    choices=["targetpad", "squarepad", "none"])
+    p.add_argument("--image-dtype", default="float32",
+                   choices=["float32", "uint8"],
+                   help="'uint8' feeds raw pixels and normalizes on device "
+                        "(4x less host->device transfer; ~1-ulp feature delta)")
     p.add_argument("--bpe-path", default=None,
                    help="Path to open_clip's bpe_simple_vocab_16e6.txt.gz")
 
@@ -336,7 +340,8 @@ def run_eval(args) -> dict:
                          quantize_gallery=getattr(args, "quantize_gallery", False))
     dim = clip_cfg.input_dim
     pad = _pad_mode(args.transform)
-    mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio)
+    mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio,
+              image_dtype=getattr(args, "image_dtype", "float32"))
 
     def loader(ds):
         return Loader(ds, args.batch_size, num_workers=args.num_workers,
@@ -397,10 +402,8 @@ def run_eval(args) -> dict:
     split_200k = "test" if args.split == "val" else args.split
     return E.evaluate_fashion200k(
         api,
-        loader(Fashion200kTestDataset(args.data_root, split=split_200k, dim=dim,
-                                      pad_mode=pad, target_ratio=args.target_ratio)),
-        loader(Fashion200kTestQueryDataset(args.data_root, split=split_200k, dim=dim,
-                                           pad_mode=pad, target_ratio=args.target_ratio)),
+        loader(Fashion200kTestDataset(args.data_root, split=split_200k, **mk)),
+        loader(Fashion200kTestQueryDataset(args.data_root, split=split_200k, **mk)),
     )
 
 
@@ -412,7 +415,8 @@ def make_classic_loader(args):
 
     dim = get_clip_config(args.clip_model_name).input_dim
     pad = _pad_mode(args.transform)
-    mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio)
+    mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio,
+              image_dtype=getattr(args, "image_dtype", "float32"))
     if args.dataset in ("fashioniq", "fashioniq-val"):
         from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
 
@@ -602,6 +606,7 @@ def run_train(args) -> None:
         precision=args.precision,
         cache_features=getattr(args, "cache_features", False),
         quantize_towers=getattr(args, "quantize_towers", False),
+        image_dtype=getattr(args, "image_dtype", "float32"),
     )
     trainer = Trainer(cfg)
     if args.clip_model_path:

@@ -24,6 +24,7 @@ class CIRRDataset:
         dim: int = 288,
         pad_mode: str = "target",
         target_ratio: float = 1.25,
+        image_dtype: str = "float32",  # "uint8" = low-bandwidth device-normalize feed
         patch_dir: str = "cirr_local_13",
         load_images: bool = True,
         skip_corrupt: bool = False,
@@ -38,6 +39,7 @@ class CIRRDataset:
         self.dim = dim
         self.pad_mode = pad_mode
         self.target_ratio = target_ratio
+        self.as_uint8 = image_dtype == "uint8"
         self.load_images = load_images
         self.skip_corrupt = skip_corrupt
         self.patches = PatchFeatureStore(os.path.join(root, patch_dir))
@@ -52,7 +54,8 @@ class CIRRDataset:
 
     def _image(self, name: str):
         path = os.path.join(self.root, self.name_to_relpath[name])
-        return load_and_preprocess(path, self.dim, self.pad_mode, self.target_ratio)
+        return load_and_preprocess(path, self.dim, self.pad_mode,
+                                   self.target_ratio, as_uint8=self.as_uint8)
 
     def __getitem__(self, index: int) -> dict:
         try:

@@ -47,6 +47,7 @@ class _Fashion200kBase:
         dim: int = 288,
         pad_mode: str = "target",
         target_ratio: float = 1.25,
+        image_dtype: str = "float32",  # "uint8" = low-bandwidth device-normalize feed
         load_images: bool = True,
         patch_path_map: Callable[[str], str] = _default_patch_path,
     ):
@@ -55,6 +56,7 @@ class _Fashion200kBase:
         self.dim = dim
         self.pad_mode = pad_mode
         self.target_ratio = target_ratio
+        self.as_uint8 = image_dtype == "uint8"
         self.load_images = load_images
         self.patch_path_map = patch_path_map
         self.imgs: list[dict] = []
@@ -76,7 +78,7 @@ class _Fashion200kBase:
     def _image(self, file_path: str):
         return load_and_preprocess(
             os.path.join(self.root, file_path), self.dim, self.pad_mode,
-            self.target_ratio, rgb_first=True)
+            self.target_ratio, rgb_first=True, as_uint8=self.as_uint8)
 
     def _patch(self, file_path: str) -> np.ndarray:
         return _load_patch(self.patch_path_map(os.path.join(self.root, file_path)))

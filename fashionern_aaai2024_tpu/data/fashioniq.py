@@ -34,6 +34,7 @@ class FashionIQDataset:
         dim: int = 288,
         pad_mode: str = "target",
         target_ratio: float = 1.25,
+        image_dtype: str = "float32",  # "uint8" = low-bandwidth device-normalize feed
         patch_dir: str = "fashion_local13",
         image_dir: str = "images",
         image_ext: str = ".png",
@@ -55,6 +56,7 @@ class FashionIQDataset:
         self.dim = dim
         self.pad_mode = pad_mode
         self.target_ratio = target_ratio
+        self.as_uint8 = image_dtype == "uint8"
         self.image_dir = image_dir
         self.image_ext = image_ext
         self.load_images = load_images
@@ -84,7 +86,8 @@ class FashionIQDataset:
 
     def _image(self, name: str):
         path = os.path.join(self.root, self.image_dir, name + self.image_ext)
-        return load_and_preprocess(path, self.dim, self.pad_mode, self.target_ratio)
+        return load_and_preprocess(path, self.dim, self.pad_mode,
+                                   self.target_ratio, as_uint8=self.as_uint8)
 
     def __getitem__(self, index: int) -> dict:
         try:

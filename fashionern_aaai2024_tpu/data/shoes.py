@@ -29,6 +29,7 @@ class ShoesDataset:
         dim: int = 288,
         pad_mode: str = "target",
         target_ratio: float = 1.25,
+        image_dtype: str = "float32",  # "uint8" = low-bandwidth device-normalize feed
         patch_dir: str = "shoes_local_feature_13",
         load_images: bool = True,
         skip_corrupt: bool = False,
@@ -39,6 +40,7 @@ class ShoesDataset:
         self.dim = dim
         self.pad_mode = pad_mode
         self.target_ratio = target_ratio
+        self.as_uint8 = image_dtype == "uint8"
         self.load_images = load_images
         self.skip_corrupt = skip_corrupt
         self.patches = PatchFeatureStore(os.path.join(root, patch_dir))
@@ -53,7 +55,7 @@ class ShoesDataset:
     def _image(self, relpath: str):
         return load_and_preprocess(
             os.path.join(self.root, relpath), self.dim, self.pad_mode,
-            self.target_ratio)
+            self.target_ratio, as_uint8=self.as_uint8)
 
     def __getitem__(self, index: int) -> dict:
         try:

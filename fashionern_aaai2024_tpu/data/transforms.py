@@ -83,8 +83,13 @@ def preprocess_image(
     pad_mode: str = "target",
     target_ratio: float = 1.25,
     normalize: bool = True,
+    as_uint8: bool = False,
 ) -> np.ndarray:
-    """Full pipeline → float32 [dim, dim, 3] (NHWC)."""
+    """Full pipeline → float32 [dim, dim, 3] (NHWC).
+
+    `as_uint8=True` skips normalization and returns the raw u8 pixels —
+    the low-bandwidth feed (4× fewer bytes to collate and upload);
+    `CLIP.encode_image` normalizes u8 inputs on device."""
     if pad_mode == "target":
         image = target_pad(image, target_ratio)
     elif pad_mode == "square":
@@ -93,6 +98,8 @@ def preprocess_image(
         raise ValueError(f"unknown pad_mode {pad_mode!r}")
     image = _resize_shorter(image, dim)
     image = _center_crop(image, dim)
+    if as_uint8:
+        return np.asarray(image.convert("RGB"), np.uint8)
     if normalize:
         return _to_normalized_array(image)
     return np.asarray(image.convert("RGB"), np.float32) / 255.0
@@ -105,6 +112,7 @@ def load_and_preprocess(
     target_ratio: float = 1.25,
     normalize: bool = True,
     rgb_first: bool = False,
+    as_uint8: bool = False,
 ) -> np.ndarray:
     """Decode + preprocess straight from a file path → float32 [dim, dim, 3].
 
@@ -128,7 +136,7 @@ def load_and_preprocess(
 
     if native_image.is_jpeg(data):
         out = native_image.decode_preprocess(
-            data, dim, pad_mode, target_ratio, normalize)
+            data, dim, pad_mode, target_ratio, normalize and not as_uint8)
         if out is not None:
             return out
     import io
@@ -136,7 +144,8 @@ def load_and_preprocess(
     with Image.open(io.BytesIO(data)) as img:
         if rgb_first:
             img = img.convert("RGB")
-        return preprocess_image(img, dim, pad_mode, target_ratio, normalize)
+        return preprocess_image(img, dim, pad_mode, target_ratio, normalize,
+                                as_uint8)
 
 
 def targetpad_transform(target_ratio: float = 1.25, dim: int = 288):

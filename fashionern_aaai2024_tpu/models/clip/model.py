@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from fashionern_aaai2024_tpu.models.clip.config import CLIPConfig
 from fashionern_aaai2024_tpu.models.clip.resnet import ModifiedResNet
@@ -36,7 +37,19 @@ class CLIP(nn.Module):
         """[B, H, W, 3] → (global [B, d], tokens [B, S, d]).
 
         The tuple mirrors the reference ViT path's expectation of
-        `(features, token_seq)` (`utils/utils.py:88-93`)."""
+        `(features, token_seq)` (`utils/utils.py:88-93`).
+
+        Accepts uint8 images and CLIP-normalizes them on device (the
+        u8 feed moves 4× fewer bytes host→device than pre-normalized
+        float32; the normalize fuses into the first conv's epilogue
+        under XLA). float32 inputs are assumed already normalized —
+        the host pipeline's default."""
+        if images.dtype == jnp.uint8:
+            from fashionern_aaai2024_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+            scale = (1.0 / (255.0 * CLIP_STD)).astype(np.float32)
+            shift = (-CLIP_MEAN / CLIP_STD).astype(np.float32)
+            images = images.astype(jnp.float32) * scale + shift
         return self.visual(images)
 
     def encode_text(

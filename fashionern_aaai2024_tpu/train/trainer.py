@@ -73,6 +73,7 @@ class TrainConfig:
     resume_path: str | None = None          # Orbax train-state dir to resume from
     precision: str = "fp32"                 # "fp32" | "bf16" (frozen CLIP towers only)
     cache_features: bool = False            # pre-encode unique images once; text stays online
+    image_dtype: str = "float32"            # "uint8" = raw-pixel feed, normalize on device
     quantize_towers: bool = False           # int8 frozen-tower MLPs in the train step
     # quantize_towers is the fallback for datasets whose image set does
     # not fit the feature cache: the full step is ~80% frozen-tower
@@ -113,7 +114,7 @@ def _make_fiq_train(cfg: TrainConfig):
     dim = get_clip_config(cfg.clip_model_name).input_dim
     return FashionIQDataset(
         cfg.data_root, "train", ["dress", "shirt", "toptee"], mode="relative",
-        dim=dim, target_ratio=cfg.target_ratio,
+        dim=dim, target_ratio=cfg.target_ratio, image_dtype=cfg.image_dtype,
     )
 
 
@@ -122,7 +123,7 @@ def _make_cirr_train(cfg: TrainConfig):
 
     dim = get_clip_config(cfg.clip_model_name).input_dim
     return CIRRDataset(cfg.data_root, "train", mode="relative", dim=dim,
-                       target_ratio=cfg.target_ratio)
+                       target_ratio=cfg.target_ratio, image_dtype=cfg.image_dtype)
 
 
 def _make_shoes_train(cfg: TrainConfig):
@@ -130,7 +131,7 @@ def _make_shoes_train(cfg: TrainConfig):
 
     dim = get_clip_config(cfg.clip_model_name).input_dim
     return ShoesDataset(cfg.data_root, "train", mode="relative", dim=dim,
-                        target_ratio=cfg.target_ratio)
+                        target_ratio=cfg.target_ratio, image_dtype=cfg.image_dtype)
 
 
 def _make_200k_train(cfg: TrainConfig):
@@ -138,7 +139,7 @@ def _make_200k_train(cfg: TrainConfig):
 
     dim = get_clip_config(cfg.clip_model_name).input_dim
     return Fashion200kDataset(cfg.data_root, "train", dim=dim,
-                              target_ratio=cfg.target_ratio)
+                              target_ratio=cfg.target_ratio, image_dtype=cfg.image_dtype)
 
 
 def _fiq_validator(cfg: TrainConfig):
@@ -281,7 +282,13 @@ class Trainer:
             self.state = cast_frozen_clip_bf16(self.state)
         elif cfg.precision != "fp32":
             raise ValueError(f"precision must be 'fp32' or 'bf16', got {cfg.precision!r}")
-        self._image_dtype = np.float32 if cfg.precision == "fp32" else jnp.bfloat16
+        # uint8 feed: keep raw pixels through collate/H2D (4x fewer
+        # bytes); CLIP.encode_image normalizes on device, then the
+        # precision policy applies inside the towers as usual.
+        if cfg.image_dtype == "uint8":
+            self._image_dtype = np.uint8
+        else:
+            self._image_dtype = np.float32 if cfg.precision == "fp32" else jnp.bfloat16
         if cfg.cache_features:
             from fashionern_aaai2024_tpu.train.step import build_cached_image_train_step
 

@@ -334,3 +334,42 @@ class TestBatchNormFold:
         np.testing.assert_allclose(np.asarray(got_tokens),
                                    np.asarray(want_tokens),
                                    atol=1e-4, rtol=1e-4)
+
+
+class TestUint8Feed:
+    """uint8 image feed: encode_image normalizes raw pixels on device
+    with the same constants as the host pipeline (models/clip/model.py
+    `encode_image`; 4× less H2D traffic — BASELINE.md r3 ledger)."""
+
+    def test_u8_matches_host_normalized_f32(self):
+        import jax
+        from fashionern_aaai2024_tpu import native
+
+        model = CLIP(VIT_SMALL)
+        rng = np.random.default_rng(0)
+        u8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        f32 = native.normalize_images(u8)
+        variables = model.init(
+            jax.random.PRNGKey(0), f32, np.zeros((2, 16), np.int32))
+        g_f32, tok_f32 = model.apply(variables, f32, method=model.encode_image)
+        g_u8, tok_u8 = model.apply(variables, jnp.asarray(u8),
+                                   method=model.encode_image)
+        np.testing.assert_allclose(np.asarray(g_u8), np.asarray(g_f32),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(tok_u8), np.asarray(tok_f32),
+                                   rtol=0, atol=2e-5)
+
+    def test_dataset_u8_item(self, tmp_path):
+        from PIL import Image as PILImage
+        from fashionern_aaai2024_tpu.data.transforms import load_and_preprocess
+
+        rng = np.random.default_rng(1)
+        arr = rng.integers(0, 256, (90, 60, 3), dtype=np.uint8)
+        p = tmp_path / "x.jpg"
+        PILImage.fromarray(arr).save(p, quality=90)
+        u8 = load_and_preprocess(str(p), 32, "target", as_uint8=True)
+        f32 = load_and_preprocess(str(p), 32, "target")
+        assert u8.dtype == np.uint8 and u8.shape == (32, 32, 3)
+        from fashionern_aaai2024_tpu import native
+
+        np.testing.assert_array_equal(native.normalize_images(u8), f32)
