@@ -648,3 +648,37 @@ class TestQuantizedTowerTraining:
             ["train", "--dataset", "fashioniq", "--data-root", "/tmp/x",
              "--quantize-towers"])
         assert args.quantize_towers
+
+
+class TestUint8TrainFeed:
+    def test_u8_batch_matches_f32_loss(self):
+        """The uint8 image feed (TrainConfig.image_dtype="uint8") flows
+        raw pixels into the train step; CLIP.encode_image normalizes on
+        device. Loss must match the host-normalized f32 feed."""
+        from fashionern_aaai2024_tpu import native
+
+        rng = np.random.default_rng(3)
+        model = tiny_model()
+        b = 16
+        u8 = {
+            "ref_image": rng.integers(0, 256, (b, 32, 32, 3), dtype=np.uint8),
+            "tar_image": rng.integers(0, 256, (b, 32, 32, 3), dtype=np.uint8),
+            "text_ids": rng.integers(0, 100, (b, 16)).astype(np.int32),
+            "ref_patch": rng.standard_normal((b, 13, 24), dtype=np.float32),
+            "tar_patch": rng.standard_normal((b, 13, 24), dtype=np.float32),
+        }
+        f32 = dict(u8, ref_image=native.normalize_images(u8["ref_image"]),
+                   tar_image=native.normalize_images(u8["tar_image"]))
+        variables = init_variables(model, f32)
+        opt = optax.adam(1e-3)
+        mesh = meshlib.create_mesh()
+        step = build_train_step(model, opt, negatives="local",
+                                local_groups=8, donate=False)
+        losses = {}
+        for key, batch in (("f32", f32), ("u8", u8)):
+            state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+            _, loss = step(state, meshlib.shard_batch(mesh, batch))
+            losses[key] = float(loss)
+        assert np.isfinite(losses["u8"])
+        np.testing.assert_allclose(losses["u8"], losses["f32"],
+                                   rtol=0, atol=1e-5)
