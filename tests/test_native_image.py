@@ -165,3 +165,56 @@ class TestPipelineParity:
         with Image.open(p) as img:
             ref = preprocess_image(img.convert("RGB"), 32, "target")
         assert np.array_equal(out, ref)
+
+
+class TestRobustness:
+    """The C pipeline must never crash the process: fuzzed inputs
+    return error statuses (→ PIL fallback), and the code is
+    state-free so concurrent decodes from Python threads (which it
+    releases the GIL for) must agree with serial results. An
+    ASAN-instrumented build of the same drives ran clean (BASELINE.md
+    native ledger)."""
+
+    def test_fuzzed_inputs_never_crash(self, rng):
+        arr = rng.integers(0, 256, (60, 80, 3), dtype=np.uint8)
+        base = bytearray(_jpeg_bytes(arr, quality=80))
+        ok = err = 0
+        for _ in range(200):
+            m = bytearray(base)
+            for _ in range(int(rng.integers(1, 4))):
+                m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+            if rng.random() < 0.5:
+                m = m[: int(rng.integers(2, len(m)))]
+            out = nimg.decode_preprocess(bytes(m), 32, "target")
+            if out is None:
+                err += 1
+            else:
+                ok += 1
+                assert out.shape == (32, 32, 3) and np.isfinite(out).all()
+        assert ok + err == 200  # every input handled, no crash
+
+    def test_degenerate_geometries(self, rng):
+        for (h, w) in ((1, 1), (2, 3), (1, 400), (400, 1)):
+            data = _jpeg_bytes(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+            out = nimg.decode_preprocess(data, 16, "square")
+            pil = preprocess_image(
+                Image.open(io.BytesIO(data)), 16, "square")
+            if out is not None:
+                assert np.array_equal(out, pil), (h, w)
+
+    def test_concurrent_threads_match_serial(self, rng):
+        import concurrent.futures as cf
+
+        items = [
+            _jpeg_bytes(rng.integers(
+                0, 256,
+                (int(rng.integers(40, 300)), int(rng.integers(40, 300)), 3),
+                dtype=np.uint8))
+            for _ in range(24)
+        ]
+        serial = [nimg.decode_preprocess(d, 224, "target") for d in items]
+        with cf.ThreadPoolExecutor(max_workers=8) as pool:
+            threaded = list(pool.map(
+                lambda d: nimg.decode_preprocess(d, 224, "target"), items))
+        for s, t in zip(serial, threaded):
+            assert np.array_equal(s, t)
