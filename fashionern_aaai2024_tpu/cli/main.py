@@ -631,6 +631,9 @@ def run_info() -> dict:
         "losses": sorted(LOSS_REGISTRY),
         "zoo_models": sorted(_ZOO),
         "native_loader": native.available(),
+        "native_image": __import__(
+            "fashionern_aaai2024_tpu.native.image", fromlist=["available"]
+        ).available(),
         # kernel dispatch summary (ops/attention.py, BASELINE.md ledger)
         "pallas_kernels": {
             "enabled": use_pallas(),
