@@ -85,11 +85,13 @@ def main():
         for as_u8 in (False, True):
             ds = DirDataset(root, n, size, as_u8)
             loader = Loader(ds, batch, num_workers=0, worker_type="thread")
-            # warm compile on one batch
+            # warm compile at exactly the padded batch shape
+            # embed_gallery dispatches (pad, don't truncate: n < batch
+            # would otherwise recompile inside the timed loop)
+            from fashionern_aaai2024_tpu.retrieval.engine import _pad_rows
+
             first = next(iter(loader))
-            np.asarray(encode(first["image"][:batch] if
-                              first["image"].shape[0] >= batch else
-                              np.repeat(first["image"], 2, 0)[:batch])[0][:1])
+            np.asarray(encode(_pad_rows(first["image"], batch))[0][:1])
             t0 = time.perf_counter()
             feats = embed_gallery(encode, loader, batch)
             dt = time.perf_counter() - t0

@@ -617,6 +617,7 @@ def run_train(args) -> None:
 
 def run_info() -> dict:
     from fashionern_aaai2024_tpu import __version__, native
+    from fashionern_aaai2024_tpu.native import image as native_image
     from fashionern_aaai2024_tpu.models.clip.config import _CONFIGS
     from fashionern_aaai2024_tpu.models.zoo import _ZOO
     from fashionern_aaai2024_tpu.ops.extra_losses import LOSS_REGISTRY
@@ -631,9 +632,7 @@ def run_info() -> dict:
         "losses": sorted(LOSS_REGISTRY),
         "zoo_models": sorted(_ZOO),
         "native_loader": native.available(),
-        "native_image": __import__(
-            "fashionern_aaai2024_tpu.native.image", fromlist=["available"]
-        ).available(),
+        "native_image": native_image.available(),
         # kernel dispatch summary (ops/attention.py, BASELINE.md ledger)
         "pallas_kernels": {
             "enabled": use_pallas(),

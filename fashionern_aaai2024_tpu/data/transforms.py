@@ -138,6 +138,9 @@ def load_and_preprocess(
         out = native_image.decode_preprocess(
             data, dim, pad_mode, target_ratio, normalize and not as_uint8)
         if out is not None:
+            if out.dtype == np.uint8 and not as_uint8:
+                # normalize=False contract is float32 in [0, 1]
+                return out.astype(np.float32) / 255.0
             return out
     import io
 

@@ -50,6 +50,11 @@ class CLIP(nn.Module):
             scale = (1.0 / (255.0 * CLIP_STD)).astype(np.float32)
             shift = (-CLIP_MEAN / CLIP_STD).astype(np.float32)
             images = images.astype(jnp.float32) * scale + shift
+            # Follow the precision policy: under bf16-cast variables
+            # (train/state.py cast_frozen_clip_bf16, eval --precision
+            # bf16) f32 inputs would promote every tower matmul back to
+            # f32 — logit_scale's runtime dtype tracks the cast tree.
+            images = images.astype(self.logit_scale.dtype)
         return self.visual(images)
 
     def encode_text(

@@ -44,9 +44,12 @@ def _build() -> str | None:
     so = _cache_path()
     if os.path.exists(so):
         return so
+    # per-process tmp name: concurrent first-use builds must not
+    # interleave writes into one file and publish a corrupt .so
+    tmp = f"{so}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-        _SRC, "-o", so + ".tmp",
+        _SRC, "-o", tmp,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -54,7 +57,7 @@ def _build() -> str | None:
         print(f"fashionern.native: build failed ({e}); using numpy fallback",
               file=sys.stderr)
         return None
-    os.replace(so + ".tmp", so)
+    os.replace(tmp, so)
     return so
 
 

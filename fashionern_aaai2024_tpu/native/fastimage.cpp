@@ -94,15 +94,20 @@ constexpr int kDecodeError = 1;
 constexpr int kUnsupportedColor = 2;
 constexpr int kGeometry = 3;
 
-// Decode to RGB(X) u8 HWC. Grayscale JPEGs replicate to RGB inside
+// Upper bound on decoded pixels (≈256 MP): a hostile/corrupt header
+// can advertise 65535×65535 (12.9 GB) — reject before allocating so
+// the caller falls back to PIL instead of the process dying on OOM /
+// bad_alloc. Real dataset images are < 1 MP.
+constexpr int64_t kMaxPixels = int64_t{1} << 28;
+
+// Decode to RGB u8 HWC. Grayscale JPEGs replicate to RGB inside
 // libjpeg (identical to PIL's decode-L-then-convert-RGB ordering under
 // the per-channel resampler). CMYK/YCCK are rejected: PIL's
 // Adobe-inversion path is not worth replicating — callers fall back.
-// channels=4 uses libjpeg-turbo's JCS_EXT_RGBX fast path (SIMD-aligned
-// stores; the X byte is ignored downstream) — the same 4-byte-pixel
-// layout Pillow resamples internally.
-int decode_rgb(const uint8_t* buf, size_t len, int channels,
-               std::vector<uint8_t>* out, int* w, int* h) {
+// (A JCS_EXT_RGBX 4-byte-pixel variant was built and measured ~10%
+// slower — 33% more bytes through every stage; see BASELINE.md.)
+int decode_rgb(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
+               int* w, int* h) {
   jpeg_decompress_struct cinfo;
   JpegError jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -121,14 +126,20 @@ int decode_rgb(const uint8_t* buf, size_t len, int channels,
     jpeg_destroy_decompress(&cinfo);
     return kUnsupportedColor;
   }
-  cinfo.out_color_space = channels == 4 ? JCS_EXT_RGBX : JCS_RGB;
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_calc_output_dimensions(&cinfo);
+  if (static_cast<int64_t>(cinfo.output_width) * cinfo.output_height >
+      kMaxPixels) {
+    jpeg_destroy_decompress(&cinfo);
+    return kDecodeError;
+  }
   jpeg_start_decompress(&cinfo);
   *w = static_cast<int>(cinfo.output_width);
   *h = static_cast<int>(cinfo.output_height);
-  out->resize(static_cast<size_t>(*w) * *h * channels);
+  out->resize(static_cast<size_t>(*w) * *h * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
-    JSAMPROW row = out->data() +
-                   static_cast<size_t>(cinfo.output_scanline) * *w * channels;
+    JSAMPROW row =
+        out->data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
@@ -364,15 +375,13 @@ int preprocess_rgb(const std::vector<uint8_t>& rgb, int w, int h, int ch,
                          static_cast<int>(nh), left, top, dim, dim, out);
 }
 
-int decode_preprocess_one(const uint8_t* buf, int64_t len, int dim,
-                          int pad_mode, double target_ratio, const float* mean,
-                          const float* stdd, int normalize, void* out_v) {
-  // 3-channel end to end: an RGBX (4-byte-pixel) variant was measured
-  // and lost — 33% more bytes through decode/pad/resample outweighed
-  // any vectorization benefit at these image sizes.
+int decode_preprocess_impl(const uint8_t* buf, int64_t len, int dim,
+                           int pad_mode, double target_ratio,
+                           const float* mean, const float* stdd,
+                           int normalize, void* out_v) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  int rc = decode_rgb(buf, static_cast<size_t>(len), 3, &rgb, &w, &h);
+  int rc = decode_rgb(buf, static_cast<size_t>(len), &rgb, &w, &h);
   if (rc != kOk) return rc;
   std::vector<uint8_t> crop;
   rc = preprocess_rgb(rgb, w, h, 3, dim, pad_mode, target_ratio, &crop);
@@ -399,6 +408,21 @@ int decode_preprocess_one(const uint8_t* buf, int64_t len, int dim,
     out[i + 2] = lut[2][crop[i + 2]];
   }
   return kOk;
+}
+
+// No C++ exception may cross the extern "C" / ctypes boundary (or a
+// std::thread lambda in the batch path, where it would std::terminate
+// the process) — allocation failure degrades to the PIL fallback.
+int decode_preprocess_one(const uint8_t* buf, int64_t len, int dim,
+                          int pad_mode, double target_ratio, const float* mean,
+                          const float* stdd, int normalize,
+                          void* out_v) noexcept {
+  try {
+    return decode_preprocess_impl(buf, len, dim, pad_mode, target_ratio, mean,
+                                  stdd, normalize, out_v);
+  } catch (...) {
+    return kDecodeError;
+  }
 }
 
 }  // namespace
@@ -438,24 +462,32 @@ int fe_jpeg_dims(const uint8_t* buf, int64_t len, int* w, int* h) {
 // 2 unsupported colorspace / 4 cap too small).
 int fe_decode_jpeg(const uint8_t* buf, int64_t len, uint8_t* out, int64_t cap,
                    int* w, int* h) {
-  std::vector<uint8_t> rgb;
-  int rc = decode_rgb(buf, static_cast<size_t>(len), 3, &rgb, w, h);
-  if (rc != kOk) return rc;
-  if (static_cast<int64_t>(rgb.size()) > cap) return 4;
-  std::memcpy(out, rgb.data(), rgb.size());
-  return kOk;
+  try {
+    std::vector<uint8_t> rgb;
+    int rc = decode_rgb(buf, static_cast<size_t>(len), &rgb, w, h);
+    if (rc != kOk) return rc;
+    if (static_cast<int64_t>(rgb.size()) > cap) return 4;
+    std::memcpy(out, rgb.data(), rgb.size());
+    return kOk;
+  } catch (...) {
+    return kDecodeError;
+  }
 }
 
 // Pillow-exact full-image bicubic resize of u8 HWC (any channel count).
 // out must hold out_h*out_w*ch bytes.
 int fe_resize_bicubic_u8(const uint8_t* src, int in_h, int in_w, int ch,
                          int out_w, int out_h, uint8_t* out) {
-  std::vector<uint8_t> res;
-  int rc = resample_window(src, in_h, in_w, ch, out_w, out_h, 0, 0, out_w,
-                           out_h, &res);
-  if (rc != kOk) return rc;
-  std::memcpy(out, res.data(), res.size());
-  return kOk;
+  try {
+    std::vector<uint8_t> res;
+    int rc = resample_window(src, in_h, in_w, ch, out_w, out_h, 0, 0, out_w,
+                             out_h, &res);
+    if (rc != kOk) return rc;
+    std::memcpy(out, res.data(), res.size());
+    return kOk;
+  } catch (...) {
+    return kDecodeError;
+  }
 }
 
 // Full single-image pipeline: decode → pad → resize → crop →

@@ -70,13 +70,17 @@ def _build() -> str | None:
         so = _cache_path(flags)
         if os.path.exists(so):
             return so
-        cmd = ["g++", *flags, _SRC, "-o", so + ".tmp", "-ljpeg"]
+        # per-process tmp name: concurrent first-use builds (fork
+        # workers, parallel test runs) must not interleave writes into
+        # one file and publish a corrupt .so
+        tmp = f"{so}.{os.getpid()}.tmp"
+        cmd = ["g++", *flags, _SRC, "-o", tmp, "-ljpeg"]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         except (OSError, subprocess.SubprocessError) as e:  # pragma: no cover
             err = e
             continue
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return so
     print(f"fashionern.native.image: build failed ({err}); using PIL fallback",
           file=sys.stderr)  # pragma: no cover

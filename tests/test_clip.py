@@ -373,3 +373,30 @@ class TestUint8Feed:
         from fashionern_aaai2024_tpu import native
 
         np.testing.assert_array_equal(native.normalize_images(u8), f32)
+
+    def test_u8_feed_respects_bf16_policy(self):
+        """u8 + bf16-cast variables: the on-device normalize must cast
+        back down so the towers compute in bf16 (no silent f32
+        promotion — r3 review finding)."""
+        import jax
+        from fashionern_aaai2024_tpu import native
+
+        model = CLIP(VIT_SMALL)
+        rng = np.random.default_rng(0)
+        u8 = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+        f32 = native.normalize_images(u8)
+        variables = model.init(
+            jax.random.PRNGKey(0), f32, np.zeros((2, 16), np.int32))
+        vbf16 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            variables)
+
+        # behavioral check: u8 feed under bf16 params matches the
+        # bf16-input f32 feed (both compute in bf16)
+        g_u8, _ = model.apply(vbf16, jnp.asarray(u8), method=model.encode_image)
+        g_bf, _ = model.apply(vbf16, jnp.asarray(f32, jnp.bfloat16),
+                              method=model.encode_image)
+        assert g_u8.dtype == g_bf.dtype  # same policy dtype out
+        np.testing.assert_allclose(
+            np.asarray(g_u8, np.float32), np.asarray(g_bf, np.float32),
+            rtol=0, atol=5e-2)

@@ -218,3 +218,28 @@ class TestRobustness:
                 lambda d: nimg.decode_preprocess(d, 224, "target"), items))
         for s, t in zip(serial, threaded):
             assert np.array_equal(s, t)
+
+
+class TestReviewFixes:
+    def test_huge_declared_dims_rejected_not_oom(self, rng):
+        """A corrupt/hostile SOF advertising 65535x65535 (12.9 GB) must
+        return an error (PIL fallback), not allocate."""
+        data = bytearray(_jpeg_bytes(
+            rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)))
+        i = bytes(data).find(b"\xff\xc0")  # SOF0: len(2) prec(1) H(2) W(2)
+        assert i > 0
+        data[i + 5:i + 9] = b"\xff\xff\xff\xff"
+        assert nimg.decode_preprocess(bytes(data), 224, "target") is None
+        assert nimg.decode_jpeg(bytes(data)) is None
+
+    def test_unnormalized_float_contract(self, rng, tmp_path):
+        """load_and_preprocess(normalize=False) returns float32 [0,1]
+        from BOTH the native and PIL paths."""
+        arr = rng.integers(0, 256, (60, 80, 3), dtype=np.uint8)
+        p = tmp_path / "x.jpg"
+        p.write_bytes(_jpeg_bytes(arr))
+        out = load_and_preprocess(str(p), 32, "target", normalize=False)
+        with Image.open(p) as img:
+            ref = preprocess_image(img, 32, "target", normalize=False)
+        assert out.dtype == np.float32 and out.max() <= 1.0
+        assert np.array_equal(out, ref)
