@@ -127,6 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", default=8080, type=int)
     sv.add_argument("--quantize-gallery", action="store_true")
+    sv.add_argument("--quantize-refs", action="store_true",
+                    help="int8 reference feature/patch rows in the serve "
+                         "program (~4x on the dominant serving-HBM term "
+                         "and on the export consts sidecar; ~0.4%% extra "
+                         "quant error on DVR inputs)")
     sv.add_argument("--quantize-towers", action="store_true")
     sv.add_argument("--fold-bn", action="store_true")
     sv.add_argument("--data-parallel", action="store_true")
@@ -151,6 +156,8 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--split", default="val")
     ex.add_argument("--out", required=True, help="artifact directory")
     ex.add_argument("--quantize-gallery", action="store_true")
+    ex.add_argument("--quantize-refs", action="store_true",
+                    help="int8 ref rows: ~4x smaller consts sidecar")
     ex.add_argument("--quantize-towers", action="store_true")
     ex.add_argument("--fold-bn", action="store_true")
     ex.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
@@ -484,7 +491,8 @@ def build_service(args):
         mesh = create_mesh()
     api = E.InferenceAPI(model, variables, batch_size=args.batch_size,
                          context_length=clip_cfg.text.context_length,
-                         mesh=mesh, quantize_gallery=args.quantize_gallery)
+                         mesh=mesh, quantize_gallery=args.quantize_gallery,
+                         quantize_refs=getattr(args, "quantize_refs", False))
     print(f"embedding gallery ({args.dataset}/{args.split}) ...", flush=True)
     return RetrievalService(api, make_classic_loader(args))
 

@@ -40,12 +40,23 @@ class InferenceAPI:
 
     def __init__(self, model, variables: dict, batch_size: int = 32,
                  context_length: int = 77, tokenizer=None, mesh=None,
-                 quantize_gallery: bool = False):
+                 quantize_gallery: bool = False,
+                 quantize_refs: bool = False):
         """`tokenizer`: callable (captions, context_length) → int32 [B, L];
         defaults to the vendored CLIP BPE (`models.clip.tokenizer`).
 
         `quantize_gallery`: store refined gallery embeddings int8 for
         the top-k search (4× less HBM; `ops.quant` serving option).
+
+        `quantize_refs`: store the serve program's REFERENCE rows
+        (raw features + 13-patch locals) int8 with per-row scales,
+        dequantized in-program before DVR. The ref-patch array is the
+        serving-memory heavyweight (13×d×4 B/item ≈ 13× the feature
+        row), so this is ~4× on the dominant term — 1M items × d=640
+        drop ≈ 36 → ~10 GB — and shrinks the export consts sidecar the
+        same way. Numerics: one more ~0.4% quant step on the DVR
+        inputs (same trade family as --quantize-towers; top-k overlap
+        pinned by test).
 
         `mesh`: optional DP mesh — batches are sharded over its `data`
         axis so gallery/query embedding runs on every chip (the
@@ -53,6 +64,7 @@ class InferenceAPI:
         `batch_size` must divide by the mesh size."""
         self.mesh = mesh
         self.quantize_gallery = quantize_gallery
+        self.quantize_refs = quantize_refs
         if mesh is not None:
             from fashionern_aaai2024_tpu.parallel.mesh import DATA_AXIS
 
@@ -268,9 +280,28 @@ class InferenceAPI:
         else:
             gal = jnp.asarray(gallery_features, jnp.float32)
 
+        quantize_refs = self.quantize_refs
         if by_rows:
-            ref_f = jnp.asarray(ref_features, jnp.float32)
-            ref_p = jnp.asarray(ref_patches, jnp.float32)
+            if quantize_refs:
+                from fashionern_aaai2024_tpu.ops.quant import quantize_rows
+
+                n, pn = int(ref_patches.shape[0]), int(ref_patches.shape[1])
+                ref_f = quantize_rows(jnp.asarray(ref_features, jnp.float32))
+                pq, ps = quantize_rows(
+                    jnp.asarray(ref_patches, jnp.float32).reshape(-1, feat_dim))
+                ref_p = (pq.reshape(n, pn, feat_dim), ps.reshape(n, pn))
+            else:
+                ref_f = jnp.asarray(ref_features, jnp.float32)
+                ref_p = jnp.asarray(ref_patches, jnp.float32)
+
+        def gather_refs(gf, gp, rows):
+            """Reference-row gather; int8 rows dequantize after the
+            gather (only the b requested rows, not the gallery)."""
+            if not quantize_refs:
+                return gf[rows], gp[rows]
+            rf = gf[0][rows].astype(jnp.float32) * gf[1][rows][:, None]
+            rp = gp[0][rows].astype(jnp.float32) * gp[1][rows][:, :, None]
+            return rf, rp
 
         def score_rows(pred, g):
             if not quantized:
@@ -294,7 +325,8 @@ class InferenceAPI:
 
         if by_rows:
             def fn(v, g, gf, gp, ids, rows):
-                return body(v, g, ids, gf[rows], gp[rows])
+                rf, rp = gather_refs(gf, gp, rows)
+                return body(v, g, ids, rf, rp)
 
             jfn = jax.jit(fn)
         else:
@@ -400,20 +432,45 @@ class InferenceAPI:
                           NamedSharding(mesh, P(DATA_AXIS))))
         else:
             gal_sh = shard_rows(gal)
-        ref_f = shard_rows(ref_features)
-        ref_p = shard_rows(ref_patches)
+        quantize_refs = self.quantize_refs
+        if quantize_refs:
+            # int8 ref rows: the patch array dominates serving HBM
+            # (13×d×4 B/item); quantize on host per row, shard values +
+            # scales along the same axis
+            rf32 = np.asarray(ref_features, np.float32)
+            rp32 = np.asarray(ref_patches, np.float32)
+
+            def q_host(x):
+                absmax = np.abs(x).max(axis=-1)
+                s = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+                q = np.clip(np.round(x / s[..., None]), -127, 127).astype(np.int8)
+                return q, s
+
+            rq, rs = q_host(rf32)
+            pq, ps = q_host(rp32)
+            ref_f = (shard_rows(rq), shard_rows(rs))
+            ref_p = (shard_rows(pq), shard_rows(ps))
+        else:
+            ref_f = shard_rows(ref_features)
+            ref_p = shard_rows(ref_patches)
 
         def local_body(v, g, gf, gp, ids, rows):
             shard = jax.lax.axis_index(DATA_AXIS)
             start = shard * per
-            # masked local gather + psum == distributed row lookup
+            # masked local gather + psum == distributed row lookup;
+            # int8 rows dequantize locally (b rows only) before the psum
             local = rows - start
             hit = (local >= 0) & (local < per)
             safe = jnp.where(hit, local, 0)
+            if quantize_refs:
+                gf = gf[0][safe].astype(jnp.float32) * gf[1][safe][:, None]
+                gp = gp[0][safe].astype(jnp.float32) * gp[1][safe][:, :, None]
+            else:
+                gf, gp = gf[safe], gp[safe]
             rf = jax.lax.psum(
-                gf[safe] * hit[:, None].astype(gf.dtype), DATA_AXIS)
+                gf * hit[:, None].astype(gf.dtype), DATA_AXIS)
             rp = jax.lax.psum(
-                gp[safe] * hit[:, None, None].astype(gp.dtype), DATA_AXIS)
+                gp * hit[:, None, None].astype(gp.dtype), DATA_AXIS)
             # replicated text + DVR work: b<=32 rows — duplicating it
             # beats broadcasting activations at serving batch sizes
             tg, ts = model.apply(v, ids, method=model.encode_text)
@@ -446,10 +503,13 @@ class InferenceAPI:
 
         gal_spec = ((P(DATA_AXIS, None), P(DATA_AXIS)) if quantized
                     else P(DATA_AXIS, None))
+        rf_spec = ((P(DATA_AXIS, None), P(DATA_AXIS)) if quantize_refs
+                   else P(DATA_AXIS, None))
+        rp_spec = ((P(DATA_AXIS, None, None), P(DATA_AXIS, None))
+                   if quantize_refs else P(DATA_AXIS, None, None))
         jfn = jax.jit(jax.shard_map(
             local_body, mesh=mesh,
-            in_specs=(P(), gal_spec, P(DATA_AXIS, None),
-                      P(DATA_AXIS, None, None), P(), P()),
+            in_specs=(P(), gal_spec, rf_spec, rp_spec, P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         ))

@@ -423,3 +423,77 @@ class TestBf16ServingPath:
         # near-tie under bf16 rounding
         assert m16["recall_at50"] == m32["recall_at50"] == 100.0
         assert abs(m16["recall_at10"] - m32["recall_at10"]) <= 2 * 100.0 / len(rel)
+
+
+class TestQuantizedRefs:
+    """--quantize-refs: int8 reference feature/patch rows (per-row
+    scales, dequantized in-program before DVR). The ref-patch array is
+    the dominant serving-HBM term (13×d×4 B/item), so this is the ~4×
+    memory option; answers must stay close to the fp32-refs program and
+    the sharded variant must match the single-device one exactly."""
+
+    def _arrays(self, seed=7, n=21):
+        g = np.random.default_rng(seed)
+        gal = g.standard_normal((n, DIM)).astype(np.float32)
+        ref_f = g.standard_normal((n, DIM)).astype(np.float32)
+        ref_p = g.standard_normal((n, 13, DIM)).astype(np.float32)
+        return gal, ref_f, ref_p
+
+    def _api_q(self, api):
+        return E.InferenceAPI(api.model, api.variables, batch_size=8,
+                              context_length=16, tokenizer=fake_tokenizer,
+                              quantize_refs=True)
+
+    def test_close_to_fp32_refs(self, api):
+        gal, ref_f, ref_p = self._arrays()
+        fp = api.build_serve_fn(gal, k_max=7, buckets=(4,),
+                                ref_features=ref_f, ref_patches=ref_p)
+        q = self._api_q(api).build_serve_fn(
+            gal, k_max=7, buckets=(4,), ref_features=ref_f, ref_patches=ref_p)
+        ids = fake_tokenizer(["is red", "blue dress", "long"], 16)
+        s1, i1 = fp(ids, [0, 5, 20], k=7)
+        s2, i2 = q(ids, [0, 5, 20], k=7)
+        # int8 refs perturb DVR inputs ~0.4%: top-1 must survive, and
+        # the top-7 sets must overlap strongly
+        np.testing.assert_array_equal(i1[:, 0], i2[:, 0])
+        for r1, r2 in zip(i1, i2):
+            assert len(set(r1.tolist()) & set(r2.tolist())) >= 5
+        np.testing.assert_allclose(s1, s2, rtol=0, atol=0.05)
+        # memory contract: the resident ref arrays really are int8
+        _, _, rf, rp = q.consts
+        assert np.asarray(rf[0]).dtype == np.int8
+        assert np.asarray(rp[0]).dtype == np.int8
+
+    def test_sharded_matches_single_device(self, api):
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+
+        api_q = self._api_q(api)
+        gal, ref_f, ref_p = self._arrays(seed=9)
+        plain = api_q.build_serve_fn(gal, k_max=7, buckets=(4,),
+                                     ref_features=ref_f, ref_patches=ref_p)
+        sharded = api_q.build_serve_fn(gal, k_max=7, buckets=(4,),
+                                       ref_features=ref_f, ref_patches=ref_p,
+                                       mesh=create_mesh(8))
+        ids = fake_tokenizer(["is red", "blue dress"], 16)
+        s1, i1 = plain(ids, [0, 20], k=7)
+        s2, i2 = sharded(ids, [0, 20], k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+    def test_export_roundtrip(self, api, tmp_path):
+        """The quantized-refs consts tuple (nested (values, scales)
+        pairs) must survive the AOT export → reload cycle."""
+        from fashionern_aaai2024_tpu.retrieval.artifact import (
+            export_serve_artifact, load_serve_artifact)
+
+        gal, ref_f, ref_p = self._arrays(seed=11)
+        q = self._api_q(api).build_serve_fn(
+            gal, k_max=5, buckets=(2,), ref_features=ref_f, ref_patches=ref_p)
+        names = [f"img{i}" for i in range(gal.shape[0])]
+        export_serve_artifact(q, str(tmp_path / "art"), gallery_names=names)
+        loaded = load_serve_artifact(str(tmp_path / "art"))
+        ids = fake_tokenizer(["is red", "blue"], 16)
+        s1, i1 = q(ids, [0, 20], k=5)
+        s2, i2 = loaded.query(ids, [0, 20], k=5)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
