@@ -459,11 +459,17 @@ class Trainer:
         # validation epoch reuses the compiled programs (a fresh API per
         # epoch recompiled everything — ~minutes/validation at full size)
         if not hasattr(self, "_val_api"):
+            # validation rides the training mesh when the eval batch
+            # divides it — gallery embedding spreads over all chips
+            # instead of idling n-1 of them every validation epoch
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            val_mesh = (self.mesh if n_dev > 1
+                        and self.cfg.eval_batch_size % n_dev == 0 else None)
             self._val_api = E.InferenceAPI(
                 self.model, self.state.variables(),
                 batch_size=self.cfg.eval_batch_size,
                 context_length=self.clip_cfg.text.context_length,
-                tokenizer=self.tokenizer,
+                tokenizer=self.tokenizer, mesh=val_mesh,
             )
         else:
             self._val_api.variables = jax.tree_util.tree_map(
