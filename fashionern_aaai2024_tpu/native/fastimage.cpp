@@ -410,6 +410,65 @@ int decode_preprocess_impl(const uint8_t* buf, int64_t len, int dim,
   return kOk;
 }
 
+// 13-crop patch extraction (tools/extract_patches.py geometry,
+// itself pinned to the reference's extract_patch_features_200k.py):
+// decode → full bicubic resize to RESIZE² → 2×2 + 3×3 integer-grid
+// crops → per-crop bicubic to dim² → CLIP-normalize. The crops are
+// square, so the TargetPad step of the per-crop preprocess is a no-op
+// (ratio 1.0 < 1.25) and the shorter-side resize is exactly dim².
+// Everything reuses the Pillow-exact resampler, so output is
+// bit-identical to the PIL path.
+int extract_crops_impl(const uint8_t* buf, int64_t len, int resize,
+                       int dim, const float* mean, const float* stdd,
+                       float* out /* [13, dim, dim, 3] */) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  int rc = decode_rgb(buf, static_cast<size_t>(len), &rgb, &w, &h);
+  if (rc != kOk) return rc;
+  std::vector<uint8_t> sq;  // RESIZE² board
+  rc = resample_window(rgb.data(), h, w, 3, resize, resize, 0, 0, resize,
+                       resize, &sq);
+  if (rc != kOk) return rc;
+
+  float lut[3][256];
+  for (int c = 0; c < 3; ++c) {
+    float scale = 1.0f / (255.0f * stdd[c]);
+    float shift = -mean[c] / stdd[c];
+    for (int v = 0; v < 256; ++v) {
+      lut[c][v] = static_cast<float>(v) * scale + shift;
+    }
+  }
+
+  int slot = 0;
+  std::vector<uint8_t> crop, small;
+  for (int g : {2, 3}) {
+    int iw = resize / g, ih = resize / g;  // int(w/g): exact for 360
+    for (int i = 0; i < g; ++i) {
+      for (int j = 0; j < g; ++j) {
+        crop.resize(static_cast<size_t>(iw) * ih * 3);
+        for (int y = 0; y < ih; ++y) {
+          std::memcpy(crop.data() + static_cast<size_t>(y) * iw * 3,
+                      sq.data() +
+                          ((static_cast<size_t>(i * ih + y) * resize) +
+                           static_cast<size_t>(j) * iw) * 3,
+                      static_cast<size_t>(iw) * 3);
+        }
+        rc = resample_window(crop.data(), ih, iw, 3, dim, dim, 0, 0, dim,
+                             dim, &small);
+        if (rc != kOk) return rc;
+        float* o = out + static_cast<size_t>(slot) * dim * dim * 3;
+        for (size_t p = 0; p < small.size(); p += 3) {
+          o[p] = lut[0][small[p]];
+          o[p + 1] = lut[1][small[p + 1]];
+          o[p + 2] = lut[2][small[p + 2]];
+        }
+        ++slot;
+      }
+    }
+  }
+  return kOk;
+}
+
 // No C++ exception may cross the extern "C" / ctypes boundary (or a
 // std::thread lambda in the batch path, where it would std::terminate
 // the process) — allocation failure degrades to the PIL fallback.
@@ -498,6 +557,41 @@ int fe_decode_preprocess(const uint8_t* buf, int64_t len, int dim,
                          const float* stdd, int normalize, void* out) {
   return decode_preprocess_one(buf, len, dim, pad_mode, target_ratio, mean,
                                stdd, normalize, out);
+}
+
+// One image → [13, dim, dim, 3] CLIP-normalized crops (2×2 + 3×3 grid
+// of the resize² board — the reference's offline patch-extraction
+// geometry). Returns a status code; nonzero → caller falls back.
+int fe_extract_crops(const uint8_t* buf, int64_t len, int resize, int dim,
+                     const float* mean, const float* stdd, float* out) {
+  try {
+    return extract_crops_impl(buf, len, resize, dim, mean, stdd, out);
+  } catch (...) {
+    return kDecodeError;
+  }
+}
+
+// Threaded batch of fe_extract_crops: out is [n, 13, dim, dim, 3];
+// statuses[i] nonzero → slot zero-filled, caller falls back per item.
+void fe_extract_crops_batch(const uint8_t* const* bufs, const int64_t* lens,
+                            int64_t n, int resize, int dim, const float* mean,
+                            const float* stdd, float* out,
+                            int64_t* statuses) {
+  size_t item = static_cast<size_t>(13) * dim * dim * 3;
+  parallel_for(n, /*grain=*/1, [&](int64_t first, int64_t last) {
+    for (int64_t i = first; i < last; ++i) {
+      float* slot = out + static_cast<size_t>(i) * item;
+      int rc;
+      try {
+        rc = extract_crops_impl(bufs[i], lens[i], resize, dim, mean, stdd,
+                                slot);
+      } catch (...) {
+        rc = kDecodeError;
+      }
+      if (rc != kOk) std::memset(slot, 0, item * sizeof(float));
+      statuses[i] = rc;
+    }
+  });
 }
 
 // Threaded batch: bufs/lens are n parallel arrays; out is one

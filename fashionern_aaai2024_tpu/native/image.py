@@ -124,6 +124,17 @@ def _load():
         ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_void_p,
     ]
+    lib.fe_extract_crops.restype = ctypes.c_int
+    lib.fe_extract_crops.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.fe_extract_crops_batch.restype = None
+    lib.fe_extract_crops_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
     lib.fe_decode_preprocess_batch.restype = None
     lib.fe_decode_preprocess_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p, ctypes.c_int64,
@@ -199,6 +210,22 @@ def decode_preprocess(
         _MEAN32.ctypes.data, _STD32.ctypes.data, int(normalize),
         out.ctypes.data,
     )
+    return out if rc == OK else None
+
+
+def extract_crops(data: bytes, dim: int, resize: int = 360) -> np.ndarray | None:
+    """One JPEG → [13, dim, dim, 3] CLIP-normalized crops (the offline
+    patch-extraction geometry: resize² board, 2×2 + 3×3 grid, per-crop
+    bicubic to dim² — bit-identical to the PIL path for square crops
+    under the default TargetPad ratio). None → caller falls back."""
+    lib = _load()
+    if lib is None or not is_jpeg(data):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((13, dim, dim, 3), np.float32)
+    rc = lib.fe_extract_crops(buf.ctypes.data, buf.size, resize, dim,
+                              _MEAN32.ctypes.data, _STD32.ctypes.data,
+                              out.ctypes.data)
     return out if rc == OK else None
 
 

@@ -46,9 +46,25 @@ def cut_crops(image: Image.Image, grids: Sequence[int] = GRIDS) -> list[Image.Im
 def image_to_crop_array(
     path_or_image, dim: int, target_ratio: float = 1.25
 ) -> np.ndarray:
-    """One image → [13, dim, dim, 3] preprocessed crops."""
+    """One image → [13, dim, dim, 3] preprocessed crops.
+
+    JPEG paths take the fused native pipeline (decode + board resize +
+    13 windowed resizes + normalize in one C call, bit-identical —
+    crops are square, so TargetPad is a no-op whenever
+    target_ratio > 1.0); anything else falls back to PIL."""
     if isinstance(path_or_image, (str, os.PathLike)):
-        with Image.open(path_or_image) as img:
+        with open(path_or_image, "rb") as f:
+            data = f.read()
+        if target_ratio > 1.0:
+            from fashionern_aaai2024_tpu.native import image as native_image
+
+            if native_image.is_jpeg(data):
+                out = native_image.extract_crops(data, dim, RESIZE)
+                if out is not None:
+                    return out
+        import io
+
+        with Image.open(io.BytesIO(data)) as img:
             image = img.convert("RGB").resize((RESIZE, RESIZE), Image.BICUBIC)
     else:
         image = path_or_image.convert("RGB").resize((RESIZE, RESIZE), Image.BICUBIC)

@@ -243,3 +243,51 @@ class TestReviewFixes:
             ref = preprocess_image(img, 32, "target", normalize=False)
         assert out.dtype == np.float32 and out.max() <= 1.0
         assert np.array_equal(out, ref)
+
+
+class TestExtractCrops:
+    """Fused native 13-crop extraction (offline patch pipeline) is
+    bit-identical to the PIL path: decode → 360² board → 2×2+3×3 grid →
+    per-crop bicubic to dim² → normalize."""
+
+    def test_matches_pil_path(self, rng, tmp_path):
+        from fashionern_aaai2024_tpu.tools.extract_patches import (
+            RESIZE, cut_crops, image_to_crop_array)
+
+        for i, shape in enumerate(((360, 300), (123, 457), (80, 80))):
+            arr = rng.integers(0, 256, shape + (3,), dtype=np.uint8)
+            p = tmp_path / f"{i}.jpg"
+            p.write_bytes(_jpeg_bytes(arr))
+            nat = image_to_crop_array(str(p), 64)  # native path
+            with Image.open(p) as img:
+                board = img.convert("RGB").resize((RESIZE, RESIZE), Image.BICUBIC)
+            pil = np.stack([preprocess_image(c, 64, "target", 1.25)
+                            for c in cut_crops(board)])
+            assert nat.shape == (13, 64, 64, 3)
+            assert np.array_equal(nat, pil), (i, shape)
+
+    def test_small_ratio_falls_back(self, rng, tmp_path):
+        """target_ratio <= 1.0 pads square crops — native path must
+        decline so the PIL pipeline handles it."""
+        from fashionern_aaai2024_tpu.tools.extract_patches import (
+            RESIZE, cut_crops, image_to_crop_array)
+
+        arr = rng.integers(0, 256, (100, 120, 3), dtype=np.uint8)
+        p = tmp_path / "x.jpg"
+        p.write_bytes(_jpeg_bytes(arr))
+        out = image_to_crop_array(str(p), 32, target_ratio=0.9)
+        with Image.open(p) as img:
+            board = img.convert("RGB").resize((RESIZE, RESIZE), Image.BICUBIC)
+        pil = np.stack([preprocess_image(c, 32, "target", 0.9)
+                        for c in cut_crops(board)])
+        assert np.array_equal(out, pil)
+
+    def test_non_jpeg_falls_back(self, rng, tmp_path):
+        from fashionern_aaai2024_tpu.tools.extract_patches import (
+            image_to_crop_array)
+
+        arr = rng.integers(0, 256, (90, 70, 3), dtype=np.uint8)
+        p = tmp_path / "x.png"
+        Image.fromarray(arr).save(p)
+        out = image_to_crop_array(str(p), 32)
+        assert out.shape == (13, 32, 32, 3) and np.isfinite(out).all()
