@@ -137,6 +137,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--data-parallel", action="store_true")
     sv.add_argument("--precision", default="bf16", choices=["fp32", "bf16"],
                    help="serving dtype (default bf16: MXU-native)")
+    sv.add_argument("--capacity", default=None, type=int,
+                    help="pre-allocate gallery rows for LIVE additions "
+                         "(POST /add embeds + serves new items with "
+                         "zero recompiles; default: fixed gallery)")
     sv.add_argument("--no-dynamic-batching", action="store_true",
                     help="disable coalescing of concurrent single queries "
                          "into shared dispatches (on by default)")
@@ -494,7 +498,12 @@ def build_service(args):
                          mesh=mesh, quantize_gallery=args.quantize_gallery,
                          quantize_refs=getattr(args, "quantize_refs", False))
     print(f"embedding gallery ({args.dataset}/{args.split}) ...", flush=True)
-    return RetrievalService(api, make_classic_loader(args))
+    spec = dict(dim=clip_cfg.input_dim, pad_mode=_pad_mode(args.transform),
+                target_ratio=args.target_ratio,
+                image_dtype=getattr(args, "image_dtype", "float32"))
+    return RetrievalService(api, make_classic_loader(args),
+                            capacity=getattr(args, "capacity", None),
+                            image_spec=spec)
 
 
 def run_export(args) -> dict:

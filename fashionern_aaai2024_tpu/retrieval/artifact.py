@@ -75,6 +75,11 @@ def export_serve_artifact(serve_fn, out_dir: str, *,
             "export_serve_artifact needs the by-rows serve fn (build the "
             "service with gallery ref_features/ref_patches — the "
             "RetrievalService default)")
+    if getattr(serve_fn, "growable", False):
+        raise ValueError(
+            "growable (capacity=) serve programs are mutable and not "
+            "exportable; build a compacted capacity=None serve fn over "
+            "the current gallery and export that snapshot")
     if getattr(serve_fn, "mesh", None) is not None:
         raise ValueError(
             "mesh-sharded serve programs are not exportable: the "

@@ -216,9 +216,19 @@ class InferenceAPI:
                        patch_num: int = 13,
                        ref_features: np.ndarray | None = None,
                        ref_patches: np.ndarray | None = None,
-                       mesh=None):
+                       mesh=None, capacity: int | None = None):
         """One-dispatch serving program: text encode → DVR query →
         gallery matmul → top-k, in a single jitted call per request.
+
+        `capacity` (> current rows, by-rows form, single-device only):
+        LIVE-GROWABLE gallery. Arrays are padded to `capacity` rows and
+        the program takes the valid-row count as a dynamic scalar, so
+        `serve.update_rows(start, refined, ref_f, ref_p)` can append or
+        overwrite items on a RUNNING service with zero recompiles —
+        scores for rows ≥ n_valid are masked to -inf BEFORE the top-k
+        (the same pad-eviction trap the sharded path guards). Mutable
+        programs are not exportable; export a compacted
+        (capacity=None) build instead.
 
         The r2 serve path paid ~5 device dispatches + host readbacks per
         query (tokenize→encode_text→query→search), each a round trip
@@ -252,7 +262,7 @@ class InferenceAPI:
         if mesh is None:
             mesh = self.mesh
         n_rows = int(gallery_features.shape[0])
-        k_max = min(k_max, n_rows)
+        k_max = min(k_max, n_rows if capacity is None else capacity)
         model = self.model
         buckets = tuple(sorted(buckets))
         by_rows = ref_features is not None
@@ -262,11 +272,33 @@ class InferenceAPI:
                 raise ValueError(
                     "mesh-sharded serving needs the by-rows form "
                     "(pass ref_features/ref_patches)")
+            if capacity is not None:
+                raise ValueError(
+                    "capacity (live adds) is single-device serving only; "
+                    "mesh-sharded galleries are static — re-shard via a "
+                    "service restart or export refresh")
             return self._build_sharded_serve_fn(
                 mesh, gallery_features, ref_features, ref_patches, k_max,
                 buckets, n_rows)
 
         feat_dim = int(gallery_features.shape[1])
+        growable = capacity is not None
+        if growable:
+            if not by_rows:
+                raise ValueError("capacity needs the by-rows form "
+                                 "(pass ref_features/ref_patches)")
+            if capacity < n_rows:
+                raise ValueError(
+                    f"capacity {capacity} < current gallery {n_rows}")
+
+            def pad_cap(x):
+                x = np.asarray(x)
+                return np.pad(x, ((0, capacity - n_rows),)
+                              + ((0, 0),) * (x.ndim - 1))
+
+            gallery_features = pad_cap(gallery_features)
+            ref_features = pad_cap(ref_features)
+            ref_patches = pad_cap(ref_patches)
         quantized = self.quantize_gallery
         if quantized:
             # honor --quantize-gallery on the FAST path too: score via
@@ -323,7 +355,23 @@ class InferenceAPI:
                 method=model.query)
             return jax.lax.top_k(score_rows(pred, g), k_max)
 
-        if by_rows:
+        if growable:
+            # dynamic valid-row count: rows ≥ n_valid are zero padding
+            # (or retired rows) and must lose to every real row
+            def fn(v, g, gf, gp, ids, rows, n_valid):
+                rf, rp = gather_refs(gf, gp, rows)
+                tg, ts = model.apply(v, ids, method=model.encode_text)
+                pred = model.apply(
+                    v, rf.astype(jnp.float32), rp.astype(jnp.float32),
+                    tg.astype(jnp.float32), ts.astype(jnp.float32),
+                    method=model.query)
+                scores = score_rows(pred, g)
+                valid = jnp.arange(scores.shape[1]) < n_valid
+                scores = jnp.where(valid[None, :], scores, -jnp.inf)
+                return jax.lax.top_k(scores, k_max)
+
+            jfn = jax.jit(fn)
+        elif by_rows:
             def fn(v, g, gf, gp, ids, rows):
                 rf, rp = gather_refs(gf, gp, rows)
                 return body(v, g, ids, rf, rp)
@@ -331,6 +379,9 @@ class InferenceAPI:
             jfn = jax.jit(fn)
         else:
             jfn = jax.jit(body)
+
+        state = {"gal": gal, "ref_f": ref_f if by_rows else None,
+                 "ref_p": ref_p if by_rows else None, "n_valid": n_rows}
 
         def serve(token_ids, ref, ref_patch=None, k: int = 10):
             n = token_ids.shape[0]
@@ -346,13 +397,62 @@ class InferenceAPI:
             if by_rows:
                 rows = np.zeros((b,), np.int32)
                 rows[:n] = np.asarray(ref, np.int32)
-                s, i = jfn(self.variables, gal, ref_f, ref_p, ids, rows)
+                if growable:
+                    s, i = jfn(self.variables, state["gal"], state["ref_f"],
+                               state["ref_p"], ids, rows,
+                               np.int32(state["n_valid"]))
+                else:
+                    s, i = jfn(self.variables, gal, ref_f, ref_p, ids, rows)
             else:
                 s, i = jfn(self.variables, gal, ids,
                            _pad_rows(np.asarray(ref, np.float32), b),
                            _pad_rows(np.asarray(ref_patch, np.float32), b))
             k = min(k, k_max)
             return np.asarray(s[:n, :k]), np.asarray(i[:n, :k])
+
+        def update_rows(start: int, refined: np.ndarray,
+                        ref_feat_rows: np.ndarray,
+                        ref_patch_rows: np.ndarray) -> int:
+            """Write m items at [start, start+m) in the capacity-padded
+            arrays (append when start == n_valid, overwrite otherwise);
+            returns the new valid-row count. Zero recompiles: shapes are
+            static, only buffer contents and the n_valid scalar change."""
+            if not growable:
+                raise ValueError("serve fn built without capacity=")
+            m = int(refined.shape[0])
+            if start + m > capacity:
+                raise ValueError(
+                    f"update [{start}, {start + m}) exceeds capacity "
+                    f"{capacity}; rebuild the service with more headroom")
+            sl = slice(start, start + m)
+            g32 = jnp.asarray(refined, jnp.float32)
+            if quantized:
+                from fashionern_aaai2024_tpu.ops.quant import quantize_rows
+
+                qv, qs = quantize_rows(g32)
+                gq, gs = state["gal"]
+                state["gal"] = (gq.at[sl].set(qv), gs.at[sl].set(qs))
+            else:
+                state["gal"] = state["gal"].at[sl].set(g32)
+            rf32 = jnp.asarray(ref_feat_rows, jnp.float32)
+            rp32 = jnp.asarray(ref_patch_rows, jnp.float32)
+            if quantize_refs:
+                from fashionern_aaai2024_tpu.ops.quant import quantize_rows
+
+                fq, fs = quantize_rows(rf32)
+                pq2, ps2 = quantize_rows(rp32.reshape(-1, feat_dim))
+                pn = rp32.shape[1]
+                rfq, rfs = state["ref_f"]
+                rpq, rps = state["ref_p"]
+                state["ref_f"] = (rfq.at[sl].set(fq), rfs.at[sl].set(fs))
+                state["ref_p"] = (
+                    rpq.at[sl].set(pq2.reshape(m, pn, feat_dim)),
+                    rps.at[sl].set(ps2.reshape(m, pn)))
+            else:
+                state["ref_f"] = state["ref_f"].at[sl].set(rf32)
+                state["ref_p"] = state["ref_p"].at[sl].set(rp32)
+            state["n_valid"] = max(state["n_valid"], start + m)
+            return state["n_valid"]
 
         def warmup():
             for b in buckets:
@@ -369,9 +469,16 @@ class InferenceAPI:
         serve.buckets = buckets
         serve.by_rows = by_rows
         serve.mesh = None
+        serve.growable = growable
+        serve.capacity = capacity
+        serve.update_rows = update_rows
+        serve.n_valid = lambda: state["n_valid"]
         # export surface (retrieval/artifact.py): the underlying jitted
         # program and its bound operands, so the AOT exporter can bake
-        # weights+gallery as StableHLO constants
+        # weights+gallery as StableHLO constants. Growable programs are
+        # mutable (live n_valid + buffer updates) and refuse export —
+        # an artifact is an immutable snapshot; export a compacted
+        # capacity=None build.
         serve.jfn = jfn
         serve.consts = ((self.variables, gal, ref_f, ref_p) if by_rows
                         else (self.variables, gal))

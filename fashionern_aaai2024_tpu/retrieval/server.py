@@ -89,19 +89,33 @@ class _ServiceBase:
 
 
 class RetrievalService(_ServiceBase):
-    """Gallery-resident composed retrieval around an InferenceAPI."""
+    """Gallery-resident composed retrieval around an InferenceAPI.
+
+    `capacity` (> gallery size): LIVE-GROWABLE gallery — `add_items`
+    embeds and serves new items on the running service with zero
+    recompiles (the one-dispatch program is capacity-padded and takes
+    the valid-row count dynamically). The reference has no serving
+    story at all; its eval scripts re-embed everything per run."""
 
     def __init__(self, api: E.InferenceAPI, classic_loader,
-                 caption_join=None, warmup: bool = True):
+                 caption_join=None, warmup: bool = True,
+                 capacity: int | None = None,
+                 image_spec: dict | None = None):
         self.api = api
+        # preprocessing recipe for /add items arriving as file paths
+        # (dim/pad_mode/target_ratio/image_dtype, same knobs the
+        # dataset used at startup)
+        self.image_spec = image_spec or {}
         t0 = time.time()
         gallery = embed_gallery(api.gallery_encode_fn(), classic_loader,
                                 api.batch_size)
         refined = api.refine_gallery(gallery.features, gallery.local_features)
         self.gallery = gallery
+        self._initial_refined = np.asarray(refined, np.float32)
         self.index = RetrievalIndex(gallery.names, refined,
                                     quantize=api.quantize_gallery)
         self.rows = E.last_wins_rows(gallery.names)
+        self.capacity = capacity
         # one-dispatch serving program with small-batch compile buckets
         # (r3 latency pass: text encode → query → gallery matmul → top-k
         # in a single jitted call; b=1 requests do 1-row work). The
@@ -110,12 +124,78 @@ class RetrievalService(_ServiceBase):
         self._serve_fn = api.build_serve_fn(
             refined, patch_num=gallery.local_features.shape[1],
             ref_features=gallery.features,
-            ref_patches=gallery.local_features)
+            ref_patches=gallery.local_features,
+            capacity=capacity)
         if warmup:
             self._serve_fn.warmup()
         self.startup_seconds = time.time() - t0
         self.caption_join = caption_join or (lambda c: c)
         self._init_stats()
+
+    def add_items(self, names: Sequence[str], images: np.ndarray,
+                  patches: np.ndarray) -> dict:
+        """Embed + serve new gallery items live (requires `capacity`).
+
+        images: [m, H, W, 3] preprocessed (float32 normalized or uint8
+        raw); patches: [m, patch_num, d] local features. New items are
+        appended (duplicate names follow last-wins, same as startup) and
+        answer queries immediately — one buffer update, no recompile.
+        """
+        if self.capacity is None:
+            raise ValueError(
+                "service built without --capacity; live adds need "
+                "capacity headroom (restart with serve --capacity N)")
+        m = len(names)
+        if images.shape[0] != m or patches.shape[0] != m:
+            raise ValueError("names/images/patches length mismatch")
+        t0 = time.time()
+        feats, _ = self.api.encode_image(images)
+        refined = np.asarray(
+            self.api.refine_gallery(feats, patches), np.float32)
+        with self._lock:
+            start = len(self.gallery.names)
+            n_valid = self._serve_fn.update_rows(
+                start, refined, feats, patches)
+            # host-side copies back the large-k fallback + ref lookups
+            self.gallery.names.extend(names)
+            self.gallery.features = np.concatenate(
+                [self.gallery.features, np.asarray(feats, np.float32)])
+            self.gallery.local_features = np.concatenate(
+                [self.gallery.local_features, np.asarray(patches, np.float32)])
+            for j, n in enumerate(names):
+                self.rows[n] = start + j
+            self._refined = np.concatenate(
+                [getattr(self, "_refined", self._initial_refined), refined])
+            self.index = RetrievalIndex(self.gallery.names, self._refined,
+                                        quantize=self.api.quantize_gallery)
+        return {"added": m, "gallery_size": n_valid,
+                "seconds": round(time.time() - t0, 3)}
+
+    def add_from_paths(self, items: Sequence[dict]) -> dict:
+        """`POST /add` body: items = [{"name", "image_path",
+        "patch_path"}] — decode+preprocess each image with the
+        service's startup recipe (native JPEG pipeline where it
+        applies), load the [patch_num, d] patch features, then
+        `add_items`."""
+        if not self.image_spec.get("dim"):
+            raise ValueError(
+                "service has no image_spec; construct RetrievalService "
+                "with image_spec=dict(dim=..., pad_mode=..., ...) to "
+                "accept path-based adds")
+        from fashionern_aaai2024_tpu.data.transforms import load_and_preprocess
+
+        spec = self.image_spec
+        names, imgs, patches = [], [], []
+        for it in items:
+            names.append(str(it["name"]))
+            imgs.append(load_and_preprocess(
+                it["image_path"], spec["dim"],
+                spec.get("pad_mode", "target"),
+                spec.get("target_ratio", 1.25),
+                as_uint8=spec.get("image_dtype") == "uint8"))
+            p = np.load(it["patch_path"]).astype(np.float32)
+            patches.append(p)
+        return self.add_items(names, np.stack(imgs), np.stack(patches))
 
     @property
     def gallery_size(self) -> int:
@@ -366,6 +446,28 @@ def _make_handler(service: RetrievalService):
                 try:
                     self._send(200, service.reload())
                 except Exception as e:
+                    self._send(409, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if self.path == "/add":
+                # live gallery additions (requires serve --capacity):
+                # items = [{"name", "image_path", "patch_path"}];
+                # images/patches are read from the serving host's disk
+                # (new catalog items land there), embedded, and
+                # queryable on the next request — no restart/recompile
+                if not hasattr(service, "add_from_paths"):
+                    self._send(404, {
+                        "error": "live adds need a model-backed service"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    items = list(req["items"])
+                except Exception as e:
+                    self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                try:
+                    self._send(200, service.add_from_paths(items))
+                except (ValueError, KeyError, OSError) as e:
                     self._send(409, {"error": f"{type(e).__name__}: {e}"})
                 return
             if self.path != "/query":

@@ -497,3 +497,98 @@ class TestQuantizedRefs:
         s2, i2 = loaded.query(ids, [0, 20], k=5)
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+class TestGrowableServe:
+    """capacity=: live-growable serve program. Contract: a grown/updated
+    program answers EXACTLY like a fresh capacity-None program built
+    over the same (extended) arrays — padding rows and the dynamic
+    n_valid mask must be invisible."""
+
+    def _arrays(self, seed, n):
+        g = np.random.default_rng(seed)
+        return (g.standard_normal((n, DIM)).astype(np.float32),
+                g.standard_normal((n, DIM)).astype(np.float32),
+                g.standard_normal((n, 13, DIM)).astype(np.float32))
+
+    def _build(self, api, gal, rf, rp, **kw):
+        return api.build_serve_fn(gal, k_max=7, buckets=(4,),
+                                  ref_features=rf, ref_patches=rp, **kw)
+
+    def test_padding_is_invisible(self, api):
+        gal, rf, rp = self._arrays(21, 15)
+        fixed = self._build(api, gal, rf, rp)
+        grow = self._build(api, gal, rf, rp, capacity=40)
+        assert grow.growable and grow.n_valid() == 15
+        ids = fake_tokenizer(["is red", "long dress"], 16)
+        s1, i1 = fixed(ids, [0, 14], k=7)
+        s2, i2 = grow(ids, [0, 14], k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    def test_append_matches_rebuild(self, api):
+        gal, rf, rp = self._arrays(22, 15)
+        grow = self._build(api, gal, rf, rp, capacity=40)
+        gal2, rf2, rp2 = self._arrays(23, 6)
+        assert grow.update_rows(15, gal2, rf2, rp2) == 21
+        rebuilt = self._build(api, np.concatenate([gal, gal2]),
+                              np.concatenate([rf, rf2]),
+                              np.concatenate([rp, rp2]))
+        ids = fake_tokenizer(["is red", "blue shirt", "short"], 16)
+        rows = [0, 17, 20]  # refs include two ADDED rows
+        s1, i1 = grow(ids, rows, k=7)
+        s2, i2 = rebuilt(ids, rows, k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        # added rows are reachable as results too
+        assert (np.asarray(i1) >= 15).any()
+
+    def test_overwrite_matches_rebuild(self, api):
+        gal, rf, rp = self._arrays(24, 12)
+        grow = self._build(api, gal, rf, rp, capacity=20)
+        g1, f1, p1 = self._arrays(25, 3)
+        assert grow.update_rows(4, g1, f1, p1) == 12  # overwrite keeps count
+        gal[4:7], rf[4:7], rp[4:7] = g1, f1, p1
+        rebuilt = self._build(api, gal, rf, rp)
+        ids = fake_tokenizer(["is red"], 16)
+        s1, i1 = grow(ids, [5], k=7)
+        s2, i2 = rebuilt(ids, [5], k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    @pytest.mark.parametrize("flag", ["quantize_gallery", "quantize_refs"])
+    def test_quantized_combos_match_rebuild(self, api, flag):
+        api_q = E.InferenceAPI(api.model, api.variables, batch_size=8,
+                               context_length=16, tokenizer=fake_tokenizer,
+                               **{flag: True})
+        gal, rf, rp = self._arrays(26, 10)
+        grow = self._build(api_q, gal, rf, rp, capacity=30)
+        g1, f1, p1 = self._arrays(27, 5)
+        grow.update_rows(10, g1, f1, p1)
+        rebuilt = self._build(api_q, np.concatenate([gal, g1]),
+                              np.concatenate([rf, f1]),
+                              np.concatenate([rp, p1]))
+        ids = fake_tokenizer(["is red", "short"], 16)
+        s1, i1 = grow(ids, [2, 12], k=7)
+        s2, i2 = rebuilt(ids, [2, 12], k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-4)
+
+    def test_errors(self, api):
+        gal, rf, rp = self._arrays(28, 10)
+        with pytest.raises(ValueError, match="capacity 5 < current"):
+            self._build(api, gal, rf, rp, capacity=5)
+        grow = self._build(api, gal, rf, rp, capacity=12)
+        g1, f1, p1 = self._arrays(29, 5)
+        with pytest.raises(ValueError, match="exceeds capacity"):
+            grow.update_rows(10, g1, f1, p1)
+        fixed = self._build(api, gal, rf, rp)
+        with pytest.raises(ValueError, match="without capacity"):
+            fixed.update_rows(10, g1, f1, p1)
+        from fashionern_aaai2024_tpu.retrieval.artifact import (
+            export_serve_artifact)
+        with pytest.raises(ValueError, match="growable"):
+            export_serve_artifact(grow, "/tmp/nope")
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+        with pytest.raises(ValueError, match="single-device"):
+            self._build(api, gal, rf, rp, capacity=20, mesh=create_mesh(8))

@@ -248,3 +248,109 @@ class TestMicroBatcher:
             stats = _json.loads(r.read())
         assert "dynamic_batching" in stats
         assert stats["dynamic_batching"]["items"] >= 8
+
+
+class TestLiveAdds:
+    """serve --capacity: add_items / POST /add grow a running service
+    with zero recompiles; answers must match a service rebuilt from
+    scratch over the extended gallery."""
+
+    def _make_service(self, capacity=None, items=None, **svc_kw):
+        import jax
+
+        model = composed.ComposedCIRModel(TINY, patch_num=13)
+        rng = jax.random.PRNGKey(0)
+        v = TINY.vision
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+            np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+            np.zeros((2, CTX), np.int32),
+            np.zeros((2, 13, D), np.float32),
+            np.zeros((2, 13, D), np.float32),
+            deterministic=False, method=model.train_forward,
+        )
+        api = E.InferenceAPI(model, variables, batch_size=8,
+                             context_length=CTX, tokenizer=fake_tokenizer)
+        return RetrievalService(api, Loader(items, 8, num_workers=0),
+                                capacity=capacity, warmup=False, **svc_kw)
+
+    def _items(self, seed, n, prefix="img"):
+        g = np.random.default_rng(seed)
+        return [
+            {"name": f"{prefix}{i}",
+             "image": g.random((32, 32, 3), dtype=np.float32),
+             "patch": g.standard_normal((13, D)).astype(np.float32)}
+            for i in range(n)
+        ]
+
+    def test_add_items_matches_rebuild(self):
+        base = self._items(1, 12)
+        new = self._items(2, 3, prefix="new")
+        svc = self._make_service(capacity=20, items=base)
+        out = svc.add_items([it["name"] for it in new],
+                            np.stack([it["image"] for it in new]),
+                            np.stack([it["patch"] for it in new]))
+        assert out["added"] == 3 and out["gallery_size"] == 15
+        assert svc.gallery_size == 15
+        # new items answer as references AND can be retrieved
+        res, _ = svc.query(["new1", "img0"], ["is red", "short"], k=15)
+        names_seen = {r["name"] for r in res[0]} | {r["name"] for r in res[1]}
+        assert {"new0", "new1", "new2"} & names_seen
+        rebuilt = self._make_service(items=base + new)
+        res2, _ = rebuilt.query(["new1", "img0"], ["is red", "short"], k=15)
+        for a, b in zip(res, res2):
+            assert [x["name"] for x in a] == [x["name"] for x in b]
+        # large-k fallback path (k > k_max) uses the rebuilt index
+        big1, _ = svc.query(["new0"], ["is red"], k=14)
+        big2, _ = rebuilt.query(["new0"], ["is red"], k=14)
+        assert [x["name"] for x in big1[0]] == [x["name"] for x in big2[0]]
+
+    def test_add_requires_capacity(self):
+        svc = self._make_service(items=self._items(3, 6))
+        new = self._items(4, 1)
+        with pytest.raises(ValueError, match="capacity"):
+            svc.add_items([new[0]["name"]],
+                          np.stack([new[0]["image"]]),
+                          np.stack([new[0]["patch"]]))
+
+    def test_add_from_paths_http(self, tmp_path):
+        """End to end over HTTP: write a JPEG + patch .npy to disk,
+        POST /add, then query the new item."""
+        import json as _json
+        import threading as _threading
+        import urllib.request
+        from PIL import Image
+
+        svc = self._make_service(
+            capacity=16, items=self._items(5, 8),
+            image_spec=dict(dim=32, pad_mode="target", target_ratio=1.25))
+        httpd = serve(svc, port=0, dynamic_batching=False)
+        t = _threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{httpd.server_address[1]}"
+            g = np.random.default_rng(9)
+            img = (g.random((48, 40, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(tmp_path / "fresh.jpg", quality=90)
+            np.save(tmp_path / "fresh.npy",
+                    g.standard_normal((13, D)).astype(np.float32))
+            body = _json.dumps({"items": [{
+                "name": "fresh",
+                "image_path": str(tmp_path / "fresh.jpg"),
+                "patch_path": str(tmp_path / "fresh.npy"),
+            }]}).encode()
+            req = urllib.request.Request(f"{url}/add", data=body,
+                                         method="POST")
+            with urllib.request.urlopen(req) as r:
+                out = _json.loads(r.read())
+            assert out["gallery_size"] == 9
+            q = _json.dumps({"ref_name": "fresh", "caption": "is red",
+                             "k": 3}).encode()
+            req = urllib.request.Request(f"{url}/query", data=q,
+                                         method="POST")
+            with urllib.request.urlopen(req) as r:
+                res = _json.loads(r.read())
+            assert len(res["results"]) == 3
+        finally:
+            httpd.shutdown()
