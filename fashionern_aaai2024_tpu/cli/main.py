@@ -180,6 +180,9 @@ def build_parser() -> argparse.ArgumentParser:
     rf.add_argument("--artifact", required=True, help="artifact directory "
                     "produced by `fashionern export`")
     rf.add_argument("--quantize-gallery", action="store_true")
+    rf.add_argument("--quantize-refs", action="store_true",
+                    help="must match the exported artifact's flag — the "
+                         "consts tree structure differs")
     rf.add_argument("--quantize-towers", action="store_true")
     rf.add_argument("--fold-bn", action="store_true")
     rf.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
@@ -503,7 +506,7 @@ def build_service(args):
                 image_dtype=getattr(args, "image_dtype", "float32"))
     return RetrievalService(api, make_classic_loader(args),
                             capacity=getattr(args, "capacity", None),
-                            image_spec=spec)
+                            image_spec=spec, add_root=args.data_root)
 
 
 def run_export(args) -> dict:

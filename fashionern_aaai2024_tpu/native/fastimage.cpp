@@ -571,28 +571,6 @@ int fe_extract_crops(const uint8_t* buf, int64_t len, int resize, int dim,
   }
 }
 
-// Threaded batch of fe_extract_crops: out is [n, 13, dim, dim, 3];
-// statuses[i] nonzero → slot zero-filled, caller falls back per item.
-void fe_extract_crops_batch(const uint8_t* const* bufs, const int64_t* lens,
-                            int64_t n, int resize, int dim, const float* mean,
-                            const float* stdd, float* out,
-                            int64_t* statuses) {
-  size_t item = static_cast<size_t>(13) * dim * dim * 3;
-  parallel_for(n, /*grain=*/1, [&](int64_t first, int64_t last) {
-    for (int64_t i = first; i < last; ++i) {
-      float* slot = out + static_cast<size_t>(i) * item;
-      int rc;
-      try {
-        rc = extract_crops_impl(bufs[i], lens[i], resize, dim, mean, stdd,
-                                slot);
-      } catch (...) {
-        rc = kDecodeError;
-      }
-      if (rc != kOk) std::memset(slot, 0, item * sizeof(float));
-      statuses[i] = rc;
-    }
-  });
-}
 
 // Threaded batch: bufs/lens are n parallel arrays; out is one
 // contiguous [n, dim, dim, 3] block; statuses[i] gets the per-item

@@ -129,12 +129,6 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
-    lib.fe_extract_crops_batch.restype = None
-    lib.fe_extract_crops_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p, ctypes.c_int64,
-        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p,
-    ]
     lib.fe_decode_preprocess_batch.restype = None
     lib.fe_decode_preprocess_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p, ctypes.c_int64,

@@ -36,6 +36,20 @@ def dequantize_rows(q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     return q.astype(jnp.float32) * scales[:, None]
 
 
+def quantize_rows_np(x) -> tuple:
+    """Host (numpy) twin of `quantize_rows` — same absmax/127 recipe on
+    the last axis, for code paths that quantize before device_put
+    (sharded serving pads + shards on host). Keep the two numerically
+    identical: sharded↔single-device exactness tests depend on it."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    absmax = np.abs(x).max(axis=-1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(x / scales[..., None]), -127, 127).astype(np.int8)
+    return q, scales
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def blocked_top_k_similarity_int8(
     queries: jnp.ndarray,

@@ -380,8 +380,16 @@ class InferenceAPI:
         else:
             jfn = jax.jit(body)
 
+        # Single home for the device arrays: serve() reads ONLY this
+        # dict, so update_rows' rebinds release the superseded buffers
+        # (a closure over the gal/ref_f/ref_p names would pin the
+        # initial capacity-sized copies forever — 2× gallery HBM after
+        # the first add).
         state = {"gal": gal, "ref_f": ref_f if by_rows else None,
                  "ref_p": ref_p if by_rows else None, "n_valid": n_rows}
+        del gal
+        if by_rows:
+            del ref_f, ref_p
 
         def serve(token_ids, ref, ref_patch=None, k: int = 10):
             n = token_ids.shape[0]
@@ -402,12 +410,15 @@ class InferenceAPI:
                                state["ref_p"], ids, rows,
                                np.int32(state["n_valid"]))
                 else:
-                    s, i = jfn(self.variables, gal, ref_f, ref_p, ids, rows)
+                    s, i = jfn(self.variables, state["gal"], state["ref_f"],
+                               state["ref_p"], ids, rows)
             else:
-                s, i = jfn(self.variables, gal, ids,
+                s, i = jfn(self.variables, state["gal"], ids,
                            _pad_rows(np.asarray(ref, np.float32), b),
                            _pad_rows(np.asarray(ref_patch, np.float32), b))
-            k = min(k, k_max)
+            # never emit masked padding rows: their scores are -inf and
+            # their indices point at invalid slots
+            k = min(k, k_max, state["n_valid"])
             return np.asarray(s[:n, :k]), np.asarray(i[:n, :k])
 
         def update_rows(start: int, refined: np.ndarray,
@@ -416,7 +427,9 @@ class InferenceAPI:
             """Write m items at [start, start+m) in the capacity-padded
             arrays (append when start == n_valid, overwrite otherwise);
             returns the new valid-row count. Zero recompiles: shapes are
-            static, only buffer contents and the n_valid scalar change."""
+            static, only buffer contents and the n_valid scalar change.
+            All three buffers are prepared before any is committed, so a
+            bad input cannot leave the served state torn."""
             if not growable:
                 raise ValueError("serve fn built without capacity=")
             m = int(refined.shape[0])
@@ -424,18 +437,25 @@ class InferenceAPI:
                 raise ValueError(
                     f"update [{start}, {start + m}) exceeds capacity "
                     f"{capacity}; rebuild the service with more headroom")
-            sl = slice(start, start + m)
             g32 = jnp.asarray(refined, jnp.float32)
+            rf32 = jnp.asarray(ref_feat_rows, jnp.float32)
+            rp32 = jnp.asarray(ref_patch_rows, jnp.float32)
+            if (g32.shape != (m, feat_dim) or rf32.shape != (m, feat_dim)
+                    or rp32.shape[0] != m or rp32.ndim != 3
+                    or rp32.shape[2] != feat_dim):
+                raise ValueError(
+                    f"update_rows shapes: refined {g32.shape}, ref_feats "
+                    f"{rf32.shape}, ref_patches {rp32.shape} don't agree "
+                    f"with m={m}, d={feat_dim}")
+            sl = slice(start, start + m)
             if quantized:
                 from fashionern_aaai2024_tpu.ops.quant import quantize_rows
 
                 qv, qs = quantize_rows(g32)
                 gq, gs = state["gal"]
-                state["gal"] = (gq.at[sl].set(qv), gs.at[sl].set(qs))
+                new_gal = (gq.at[sl].set(qv), gs.at[sl].set(qs))
             else:
-                state["gal"] = state["gal"].at[sl].set(g32)
-            rf32 = jnp.asarray(ref_feat_rows, jnp.float32)
-            rp32 = jnp.asarray(ref_patch_rows, jnp.float32)
+                new_gal = state["gal"].at[sl].set(g32)
             if quantize_refs:
                 from fashionern_aaai2024_tpu.ops.quant import quantize_rows
 
@@ -444,13 +464,15 @@ class InferenceAPI:
                 pn = rp32.shape[1]
                 rfq, rfs = state["ref_f"]
                 rpq, rps = state["ref_p"]
-                state["ref_f"] = (rfq.at[sl].set(fq), rfs.at[sl].set(fs))
-                state["ref_p"] = (
-                    rpq.at[sl].set(pq2.reshape(m, pn, feat_dim)),
-                    rps.at[sl].set(ps2.reshape(m, pn)))
+                new_rf = (rfq.at[sl].set(fq), rfs.at[sl].set(fs))
+                new_rp = (rpq.at[sl].set(pq2.reshape(m, pn, feat_dim)),
+                          rps.at[sl].set(ps2.reshape(m, pn)))
             else:
-                state["ref_f"] = state["ref_f"].at[sl].set(rf32)
-                state["ref_p"] = state["ref_p"].at[sl].set(rp32)
+                new_rf = state["ref_f"].at[sl].set(rf32)
+                new_rp = state["ref_p"].at[sl].set(rp32)
+            # commit all-or-nothing
+            state["gal"], state["ref_f"], state["ref_p"] = \
+                new_gal, new_rf, new_rp
             state["n_valid"] = max(state["n_valid"], start + m)
             return state["n_valid"]
 
@@ -478,10 +500,16 @@ class InferenceAPI:
         # weights+gallery as StableHLO constants. Growable programs are
         # mutable (live n_valid + buffer updates) and refuse export —
         # an artifact is an immutable snapshot; export a compacted
-        # capacity=None build.
+        # capacity=None build. (consts=None for growable also avoids
+        # pinning the initial buffers after update_rows rebinds them.)
         serve.jfn = jfn
-        serve.consts = ((self.variables, gal, ref_f, ref_p) if by_rows
-                        else (self.variables, gal))
+        if growable:
+            serve.consts = None
+        elif by_rows:
+            serve.consts = (self.variables, state["gal"], state["ref_f"],
+                            state["ref_p"])
+        else:
+            serve.consts = (self.variables, state["gal"])
         serve.context_length = self.context_length
         return serve
 
@@ -527,12 +555,9 @@ class InferenceAPI:
             # per-row int8 (host-side numpy — row scales shard trivially
             # along the same axis); pad scales with 0 so pad rows score 0
             # before the pre-top-k mask removes them anyway
-            g32 = np.asarray(gal, np.float32)
-            absmax = np.abs(g32).max(axis=1)
-            scales = np.where(absmax > 0, absmax / 127.0, 1.0) \
-                .astype(np.float32)
-            gq = np.clip(np.round(g32 / scales[:, None]), -127, 127) \
-                .astype(np.int8)
+            from fashionern_aaai2024_tpu.ops.quant import quantize_rows_np
+
+            gq, scales = quantize_rows_np(gal)
             gal_sh = (shard_rows(gq),
                       jax.device_put(
                           np.pad(scales, (0, per * n_dev - n_rows)),
@@ -544,17 +569,10 @@ class InferenceAPI:
             # int8 ref rows: the patch array dominates serving HBM
             # (13×d×4 B/item); quantize on host per row, shard values +
             # scales along the same axis
-            rf32 = np.asarray(ref_features, np.float32)
-            rp32 = np.asarray(ref_patches, np.float32)
+            from fashionern_aaai2024_tpu.ops.quant import quantize_rows_np
 
-            def q_host(x):
-                absmax = np.abs(x).max(axis=-1)
-                s = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-                q = np.clip(np.round(x / s[..., None]), -127, 127).astype(np.int8)
-                return q, s
-
-            rq, rs = q_host(rf32)
-            pq, ps = q_host(rp32)
+            rq, rs = quantize_rows_np(ref_features)
+            pq, ps = quantize_rows_np(ref_patches)
             ref_f = (shard_rows(rq), shard_rows(rs))
             ref_p = (shard_rows(pq), shard_rows(ps))
         else:

@@ -100,12 +100,16 @@ class RetrievalService(_ServiceBase):
     def __init__(self, api: E.InferenceAPI, classic_loader,
                  caption_join=None, warmup: bool = True,
                  capacity: int | None = None,
-                 image_spec: dict | None = None):
+                 image_spec: dict | None = None,
+                 add_root: str | None = None):
         self.api = api
         # preprocessing recipe for /add items arriving as file paths
         # (dim/pad_mode/target_ratio/image_dtype, same knobs the
-        # dataset used at startup)
+        # dataset used at startup); add_root confines which paths the
+        # HTTP endpoint may read — clients must not be able to point
+        # the daemon at arbitrary host files
         self.image_spec = image_spec or {}
+        self.add_root = add_root
         t0 = time.time()
         gallery = embed_gallery(api.gallery_encode_fn(), classic_loader,
                                 api.batch_size)
@@ -149,7 +153,13 @@ class RetrievalService(_ServiceBase):
         if images.shape[0] != m or patches.shape[0] != m:
             raise ValueError("names/images/patches length mismatch")
         t0 = time.time()
-        feats, _ = self.api.encode_image(images)
+        # embed OUTSIDE the lock (queries keep flowing), chunked to the
+        # API's padded batch size
+        bs = self.api.batch_size
+        feats = np.concatenate([
+            self.api.encode_image(images[i : i + bs])[0]
+            for i in range(0, m, bs)
+        ])
         refined = np.asarray(
             self.api.refine_gallery(feats, patches), np.float32)
         with self._lock:
@@ -166,10 +176,22 @@ class RetrievalService(_ServiceBase):
                 self.rows[n] = start + j
             self._refined = np.concatenate(
                 [getattr(self, "_refined", self._initial_refined), refined])
-            self.index = RetrievalIndex(self.gallery.names, self._refined,
-                                        quantize=self.api.quantize_gallery)
+            # the large-k (> k_max) fallback index rebuilds LAZILY on
+            # its next use — the common fused-path queries never pay a
+            # full-gallery re-upload per add
+            self.index = None
         return {"added": m, "gallery_size": n_valid,
                 "seconds": round(time.time() - t0, 3)}
+
+    def _fallback_index(self) -> RetrievalIndex:
+        """Large-k fallback index; rebuilt lazily after live adds
+        (must be called with self._lock held)."""
+        if self.index is None:
+            self.index = RetrievalIndex(
+                self.gallery.names,
+                getattr(self, "_refined", self._initial_refined),
+                quantize=self.api.quantize_gallery)
+        return self.index
 
     def add_from_paths(self, items: Sequence[dict]) -> dict:
         """`POST /add` body: items = [{"name", "image_path",
@@ -182,18 +204,33 @@ class RetrievalService(_ServiceBase):
                 "service has no image_spec; construct RetrievalService "
                 "with image_spec=dict(dim=..., pad_mode=..., ...) to "
                 "accept path-based adds")
+        if self.add_root is None:
+            raise ValueError(
+                "path-based adds are disabled: construct RetrievalService "
+                "with add_root=<directory> (the serve CLI passes "
+                "--data-root) to allow reads under it")
+        import os
+
         from fashionern_aaai2024_tpu.data.transforms import load_and_preprocess
+
+        root = os.path.realpath(self.add_root)
+
+        def confined(p: str) -> str:
+            rp = os.path.realpath(str(p))
+            if os.path.commonpath([rp, root]) != root:
+                raise ValueError("path outside the service add_root")
+            return rp
 
         spec = self.image_spec
         names, imgs, patches = [], [], []
         for it in items:
             names.append(str(it["name"]))
             imgs.append(load_and_preprocess(
-                it["image_path"], spec["dim"],
+                confined(it["image_path"]), spec["dim"],
                 spec.get("pad_mode", "target"),
                 spec.get("target_ratio", 1.25),
                 as_uint8=spec.get("image_dtype") == "uint8"))
-            p = np.load(it["patch_path"]).astype(np.float32)
+            p = np.load(confined(it["patch_path"])).astype(np.float32)
             patches.append(p)
         return self.add_items(names, np.stack(imgs), np.stack(patches))
 
@@ -224,7 +261,7 @@ class RetrievalService(_ServiceBase):
                 ref_patch = self.gallery.local_features[rows]
                 tg, tseq = self.api.encode_text(ids)
                 preds = self.api.query(ref_feats, ref_patch, tg, tseq)
-                scores, idx = self.index.search(preds, k=k_eff)
+                scores, idx = self._fallback_index().search(preds, k=k_eff)
         latency = time.time() - t0
         self._record_latency(latency)
         names = np.asarray(self.gallery.names, dtype=object)

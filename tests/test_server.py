@@ -324,7 +324,8 @@ class TestLiveAdds:
 
         svc = self._make_service(
             capacity=16, items=self._items(5, 8),
-            image_spec=dict(dim=32, pad_mode="target", target_ratio=1.25))
+            image_spec=dict(dim=32, pad_mode="target", target_ratio=1.25),
+            add_root=str(tmp_path))
         httpd = serve(svc, port=0, dynamic_batching=False)
         t = _threading.Thread(target=httpd.serve_forever, daemon=True)
         t.start()
