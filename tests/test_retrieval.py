@@ -195,3 +195,25 @@ class TestQuantizedIndex:
         exact = RetrievalIndex(names, gal).scores_for(q, rows)
         quant = RetrievalIndex(names, gal, quantize=True).scores_for(q, rows)
         np.testing.assert_allclose(exact, quant, rtol=1e-6)
+
+
+class TestQuantizeRowsNp:
+    def test_matches_jnp_twin(self):
+        """quantize_rows_np (host, used by sharded serving's pad+shard
+        path) must be numerically identical to ops.quant.quantize_rows
+        (device) — the sharded↔single-device exactness tests assume it."""
+        import numpy as np
+
+        from fashionern_aaai2024_tpu.ops.quant import (
+            quantize_rows, quantize_rows_np)
+
+        rng = np.random.default_rng(0)
+        for shape in ((7, 24), (5, 13, 24), (1, 8)):
+            x = rng.standard_normal(shape).astype(np.float32)
+            x[0] = 0.0  # zero-row guard path
+            q_np, s_np = quantize_rows_np(x)
+            q_j, s_j = quantize_rows(x.reshape(-1, shape[-1]))
+            np.testing.assert_array_equal(
+                q_np.reshape(-1, shape[-1]), np.asarray(q_j))
+            np.testing.assert_array_equal(
+                s_np.reshape(-1), np.asarray(s_j))
