@@ -141,9 +141,11 @@ class RetrievalService(_ServiceBase):
         """Embed + serve new gallery items live (requires `capacity`).
 
         images: [m, H, W, 3] preprocessed (float32 normalized or uint8
-        raw); patches: [m, patch_num, d] local features. New items are
-        appended (duplicate names follow last-wins, same as startup) and
-        answer queries immediately — one buffer update, no recompile.
+        raw); patches: [m, patch_num, d] local features. Unknown names
+        are appended; a name the gallery already has is REPLACED in its
+        existing row (otherwise the retired duplicate row would keep
+        appearing in results next to the new one). Either way items
+        answer queries immediately — buffer updates only, no recompile.
         """
         if self.capacity is None:
             raise ValueError(
@@ -160,27 +162,44 @@ class RetrievalService(_ServiceBase):
             self.api.encode_image(images[i : i + bs])[0]
             for i in range(0, m, bs)
         ])
+        feats = np.asarray(feats, np.float32)
+        patches = np.asarray(patches, np.float32)
         refined = np.asarray(
             self.api.refine_gallery(feats, patches), np.float32)
         with self._lock:
-            start = len(self.gallery.names)
-            n_valid = self._serve_fn.update_rows(
-                start, refined, feats, patches)
-            # host-side copies back the large-k fallback + ref lookups
-            self.gallery.names.extend(names)
-            self.gallery.features = np.concatenate(
-                [self.gallery.features, np.asarray(feats, np.float32)])
-            self.gallery.local_features = np.concatenate(
-                [self.gallery.local_features, np.asarray(patches, np.float32)])
-            for j, n in enumerate(names):
-                self.rows[n] = start + j
-            self._refined = np.concatenate(
-                [getattr(self, "_refined", self._initial_refined), refined])
+            if not hasattr(self, "_refined"):
+                self._refined = self._initial_refined
+            replace = [j for j, n in enumerate(names) if n in self.rows]
+            append = [j for j, n in enumerate(names) if n not in self.rows]
+            for j in replace:
+                row = self.rows[names[j]]
+                self._serve_fn.update_rows(
+                    row, refined[j : j + 1], feats[j : j + 1],
+                    patches[j : j + 1])
+                self.gallery.features[row] = feats[j]
+                self.gallery.local_features[row] = patches[j]
+                self._refined[row] = refined[j]
+            if append:
+                start = len(self.gallery.names)
+                self._serve_fn.update_rows(
+                    start, refined[append], feats[append], patches[append])
+                # host-side copies back the large-k fallback + ref lookups
+                self.gallery.names.extend(names[j] for j in append)
+                self.gallery.features = np.concatenate(
+                    [self.gallery.features, feats[append]])
+                self.gallery.local_features = np.concatenate(
+                    [self.gallery.local_features, patches[append]])
+                self._refined = np.concatenate(
+                    [self._refined, refined[append]])
+                for i, j in enumerate(append):
+                    self.rows[names[j]] = start + i
             # the large-k (> k_max) fallback index rebuilds LAZILY on
             # its next use — the common fused-path queries never pay a
             # full-gallery re-upload per add
             self.index = None
-        return {"added": m, "gallery_size": n_valid,
+            n_valid = self._serve_fn.n_valid()
+        return {"added": len(append), "replaced": len(replace),
+                "gallery_size": n_valid,
                 "seconds": round(time.time() - t0, 3)}
 
     def _fallback_index(self) -> RetrievalIndex:

@@ -355,3 +355,30 @@ class TestLiveAdds:
             assert len(res["results"]) == 3
         finally:
             httpd.shutdown()
+
+    def test_re_add_replaces_in_place(self):
+        """Re-adding an existing name must REPLACE its row, not append
+        a duplicate that would shadow results."""
+        base = self._items(6, 10)
+        svc = self._make_service(capacity=16, items=base)
+        # replacement content for img3 + one genuinely new item
+        repl = self._items(7, 2, prefix="x")
+        out = svc.add_items(["img3", "x0"],
+                            np.stack([it["image"] for it in repl]),
+                            np.stack([it["patch"] for it in repl]))
+        assert out == {**out, "added": 1, "replaced": 1, "gallery_size": 11}
+        # rebuild oracle: same gallery with img3's content swapped
+        base2 = [dict(it) for it in base]
+        base2[3] = {"name": "img3", "image": repl[0]["image"],
+                    "patch": repl[0]["patch"]}
+        rebuilt = self._make_service(items=base2 + [
+            {"name": "x0", "image": repl[1]["image"],
+             "patch": repl[1]["patch"]}])
+        r1, _ = svc.query(["img3", "x0"], ["is red", "short"], k=11)
+        r2, _ = rebuilt.query(["img3", "x0"], ["is red", "short"], k=11)
+        for a, b in zip(r1, r2):
+            assert [x["name"] for x in a] == [x["name"] for x in b]
+        # no duplicate names in any result row
+        for row in r1:
+            ns = [x["name"] for x in row]
+            assert len(ns) == len(set(ns))
