@@ -161,10 +161,12 @@ def train_bench(model_name: str, batch: int, precision: str = "fp32") -> dict:
 
 
 def search_bench(n_gallery: int = 200_000, n_queries: int = 1024,
-                 dim: int = 640, k: int = 51, int8: bool = False) -> dict:
+                 dim: int = 640, k: int = 51, int8: bool = False,
+                 approx_recall: float | None = None) -> dict:
     """Retrieval matmul + running top-k over a Fashion200k-scale gallery
     (`ops.similarity.blocked_top_k_similarity`; `--int8` uses the
-    quantized-gallery path, `ops.quant`)."""
+    quantized-gallery path, `ops.quant`; `approx_recall` the TPU
+    approx_max_k serving tier)."""
     from fashionern_aaai2024_tpu.ops.quant import (
         blocked_top_k_similarity_int8, quantize_rows,
     )
@@ -179,16 +181,19 @@ def search_bench(n_gallery: int = 200_000, n_queries: int = 1024,
 
         @jax.jit
         def search(q):
-            return blocked_top_k_similarity_int8(q, gal_q, scales, k=k)
+            return blocked_top_k_similarity_int8(
+                q, gal_q, scales, k=k, approx_recall=approx_recall)
 
         dt = bench_fn(search, q, iters=10)
     else:
         @jax.jit
         def search(q, gal):
-            return blocked_top_k_similarity(q, gal, k=k)
+            return blocked_top_k_similarity(
+                q, gal, k=k, approx_recall=approx_recall)
 
         dt = bench_fn(search, q, gal, iters=10)
-    suffix = "_int8" if int8 else ""
+    suffix = ("_int8" if int8 else "") + (
+        f"_approx{approx_recall}" if approx_recall else "")
     return {
         "metric": f"retrieval_queries_per_sec_n{n_gallery}_d{dim}{suffix}",
         "value": round(n_queries / dt, 2),
@@ -215,6 +220,8 @@ def main():
     if args.suite == "search":
         print(json.dumps(search_bench()))
         print(json.dumps(search_bench(int8=True)))
+        print(json.dumps(search_bench(approx_recall=0.95)))
+        print(json.dumps(search_bench(int8=True, approx_recall=0.95)))
 
 
 if __name__ == "__main__":

@@ -111,6 +111,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fold frozen BatchNorm into RN conv kernels at "
                         "weight load (numerics-identical; measured "
                         "perf-neutral on v5e — XLA fuses the affine)")
+    e.add_argument("--topk-recall", default=None, type=float,
+                   metavar="R",
+                   help="switch every gallery-wide top-k to the TPU "
+                        "approx_max_k selector at recall target R "
+                        "(e.g. 0.95 -> measured 9x search q/s at "
+                        "N=200k, per-query recall 0.984; exact "
+                        "lax.top_k when omitted)")
     e.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
                    help="tower/fusion weight+activation dtype (bf16 is the "
                         "production serving dtype: MXU-native, recalls "
@@ -133,6 +140,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "and on the export consts sidecar; ~0.4%% extra "
                          "quant error on DVR inputs)")
     sv.add_argument("--quantize-towers", action="store_true")
+    sv.add_argument("--topk-recall", default=None, type=float, metavar="R",
+                    help="approx top-k selector at recall target R "
+                         "(serving tier; exact when omitted)")
     sv.add_argument("--fold-bn", action="store_true")
     sv.add_argument("--data-parallel", action="store_true")
     sv.add_argument("--precision", default="bf16", choices=["fp32", "bf16"],
@@ -163,6 +173,9 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--quantize-refs", action="store_true",
                     help="int8 ref rows: ~4x smaller consts sidecar")
     ex.add_argument("--quantize-towers", action="store_true")
+    ex.add_argument("--topk-recall", default=None, type=float, metavar="R",
+                    help="approx top-k selector baked into the exported "
+                         "serve programs (exact when omitted)")
     ex.add_argument("--fold-bn", action="store_true")
     ex.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
 
@@ -184,6 +197,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="must match the exported artifact's flag — the "
                          "consts tree structure differs")
     rf.add_argument("--quantize-towers", action="store_true")
+    rf.add_argument("--topk-recall", default=None, type=float, metavar="R")
     rf.add_argument("--fold-bn", action="store_true")
     rf.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
     rf.add_argument("--reload-url", default=None,
@@ -351,7 +365,8 @@ def run_eval(args) -> dict:
         mesh = create_mesh()
     api = E.InferenceAPI(model, variables, batch_size=args.batch_size,
                          context_length=clip_cfg.text.context_length, mesh=mesh,
-                         quantize_gallery=getattr(args, "quantize_gallery", False))
+                         quantize_gallery=getattr(args, "quantize_gallery", False),
+                         approx_recall=getattr(args, "topk_recall", None))
     dim = clip_cfg.input_dim
     pad = _pad_mode(args.transform)
     mk = dict(dim=dim, pad_mode=pad, target_ratio=args.target_ratio,
@@ -499,7 +514,8 @@ def build_service(args):
     api = E.InferenceAPI(model, variables, batch_size=args.batch_size,
                          context_length=clip_cfg.text.context_length,
                          mesh=mesh, quantize_gallery=args.quantize_gallery,
-                         quantize_refs=getattr(args, "quantize_refs", False))
+                         quantize_refs=getattr(args, "quantize_refs", False),
+                         approx_recall=getattr(args, "topk_recall", None))
     print(f"embedding gallery ({args.dataset}/{args.split}) ...", flush=True)
     spec = dict(dim=clip_cfg.input_dim, pad_mode=_pad_mode(args.transform),
                 target_ratio=args.target_ratio,

@@ -50,21 +50,25 @@ def quantize_rows_np(x) -> tuple:
     return q, scales
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx_recall"))
 def blocked_top_k_similarity_int8(
     queries: jnp.ndarray,
     gallery_q: jnp.ndarray,
     gallery_scales: jnp.ndarray,
     k: int = 51,
     chunk: int | None = None,
+    approx_recall: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k cosine similarity against an int8-quantized gallery.
 
     Queries are quantized per-row on the fly; the chunk matmul is
-    int8×int8 → int32 on the MXU, rescaled by (q_scale · g_scale)."""
-    from fashionern_aaai2024_tpu.ops.similarity import merge_top_k
-
-    from fashionern_aaai2024_tpu.ops.similarity import _auto_chunk
+    int8×int8 → int32 on the MXU, rescaled by (q_scale · g_scale).
+    `approx_recall`: same selector knob as the fp32 path
+    (ops/similarity.py) — None = exact `lax.top_k`, a float switches to
+    `lax.approx_max_k` at that recall target."""
+    from fashionern_aaai2024_tpu.ops.similarity import (
+        _auto_chunk, _select_top_k, merge_top_k,
+    )
 
     q_vals, q_scales = quantize_rows(queries.astype(jnp.float32))
     qn, d = q_vals.shape
@@ -73,6 +77,17 @@ def blocked_top_k_similarity_int8(
     chunk = _auto_chunk(qn, n) if chunk is None else min(chunk, n)
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
+
+    if n_chunks == 1:
+        # single-chunk fast path (same rationale as the fp32 twin in
+        # ops/similarity.py: skips the pad/reshape copy + final merge)
+        acc = jax.lax.dot_general(
+            q_vals, gallery_q, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        s = acc.astype(jnp.float32) * q_scales[:, None] * gallery_scales[None, :]
+        return _select_top_k(s, k, approx_recall)
+
     n_pad = n_chunks * chunk
     gal = jnp.pad(gallery_q, ((0, n_pad - n), (0, 0))).reshape(n_chunks, chunk, d)
     gsc = jnp.pad(gallery_scales, ((0, n_pad - n),)).reshape(n_chunks, chunk)
@@ -87,7 +102,7 @@ def blocked_top_k_similarity_int8(
         s = acc.astype(jnp.float32) * q_scales[:, None] * sc_chunk[None, :]
         col = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         s = jnp.where(col[None, :] < n, s, -jnp.inf)
-        cs, ci = jax.lax.top_k(s, min(k, chunk))
+        cs, ci = _select_top_k(s, min(k, chunk), approx_recall)
         cand_s = jnp.concatenate([best_s, cs], axis=1)
         cand_i = jnp.concatenate([best_i, col[ci]], axis=1)
         return merge_top_k(cand_s, cand_i, k), None

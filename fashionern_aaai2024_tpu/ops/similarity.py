@@ -6,10 +6,30 @@ per query. All its metrics need at most the top 51 rows (R@50 plus
 CIRR's drop-the-reference trick, `validate_cirr.py:41-50`).
 
 Here: gallery is scanned in fixed-size chunks; each chunk contributes a
-[Q, k] candidate set via `lax.top_k` that is merged with the running
-top-k. Peak memory is O(Q·chunk), the matmul stays on the MXU, and the
-result is bit-identical to a full sort for distinct scores. For a
-mesh-sharded gallery, each shard computes its local top-k and the
+[Q, k] candidate set that is merged with the running top-k. Peak memory
+is O(Q·chunk), the matmul stays on the MXU. Two selection tiers:
+
+* exact (`lax.top_k`, the default): bit-identical to a full sort for
+  distinct scores; the eval/parity tier.
+* approx (`lax.approx_max_k`, the TPU PartialReduce hardware op): the
+  serving/scale tier. Measured on v5e (2026-08-18,
+  `benchmarks/topk_probe.py`, N=200k Q=1024 k=51 d=640): the exact path
+  spends ~37 of its 41.5 ms inside the top-k sort while approx
+  selection is near-free — 4.6 ms total (221k q/s, **9.0×**) at
+  measured per-query recall 0.984 (recall_target=0.95) / 0.996 (0.99).
+  At N=1M: 32 vs 207 ms (**6.4×**) at recall 0.994 — per-chunk top-51
+  of a 250k chunk over-covers, so chunking *raises* recall. On CPU
+  `approx_max_k` lowers to the exact sort with identical tie-breaking,
+  so CPU tests pin approx == exact bit-for-bit.
+
+  Exactness-verified hybrids were measured and DECLINED: a batch
+  certificate (count(s > τ_k) ≤ k−1) fails for any realistic batch
+  (one missed candidate anywhere breaks it), and host-side per-query
+  fallback re-runs cost more than they save (180 ms vs the 41.5 ms
+  exact path). Exact stays the default; approx is opt-in
+  (`--topk-mode approx`).
+
+For a mesh-sharded gallery, each shard computes its local top-k and the
 shards' candidates are merged the same way (see retrieval.engine).
 """
 
@@ -32,13 +52,23 @@ def _auto_chunk(q: int, n: int) -> int:
     return max(8192, min(n, _CHUNK_BUDGET_BYTES // (4 * max(q, 1))))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _select_top_k(s: jnp.ndarray, k: int, approx_recall: float | None):
+    """Per-chunk selection: exact sort or the TPU approx hardware op."""
+    if approx_recall is None:
+        return jax.lax.top_k(s, k)
+    return jax.lax.approx_max_k(s, k, recall_target=approx_recall)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "chunk", "approx_recall")
+)
 def blocked_top_k_similarity(
     queries: jnp.ndarray,
     gallery: jnp.ndarray,
     k: int = 51,
     chunk: int | None = None,
     n_valid: jnp.ndarray | None = None,
+    approx_recall: float | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k cosine similarity of `queries` [Q,d] against `gallery` [N,d].
 
@@ -55,6 +85,10 @@ def blocked_top_k_similarity(
     Used by the mesh-sharded callers whose per-shard galleries carry the
     global pad tail; invalid output slots have score -inf / index
     int32-max.
+
+    `approx_recall`: None = exact (default); a float in (0,1] switches
+    the per-chunk selector to `lax.approx_max_k` at that recall target
+    (see module docstring for the measured ladder).
     """
     q, d = queries.shape
     n = gallery.shape[0]
@@ -63,9 +97,20 @@ def blocked_top_k_similarity(
     chunk = _auto_chunk(q, n) if chunk is None else min(chunk, n)
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
+    qf = queries.astype(jnp.float32)
+
+    if n_chunks == 1:
+        # single-chunk fast path: skip the pad+reshape gallery copy and
+        # the final merge — `top_k`/`approx_max_k` already break ties by
+        # lower index, matching the merge contract (measured: the copy +
+        # merge cost ~2.5 ms at N=200k Q=1024, 35% of the approx tier)
+        s = jnp.dot(qf, gallery.astype(jnp.float32).T)
+        col = jnp.arange(n, dtype=jnp.int32)
+        s = jnp.where(col[None, :] < nv, s, -jnp.inf)
+        return _select_top_k(s, k, approx_recall)
+
     n_pad = n_chunks * chunk
     gal = jnp.pad(gallery, ((0, n_pad - n), (0, 0))).reshape(n_chunks, chunk, d)
-    qf = queries.astype(jnp.float32)
 
     def scan_body(carry, gal_chunk_with_idx):
         best_s, best_i = carry
@@ -73,7 +118,7 @@ def blocked_top_k_similarity(
         s = jnp.dot(qf, gal_chunk.astype(jnp.float32).T)  # [Q, chunk]
         col = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         s = jnp.where(col[None, :] < nv, s, -jnp.inf)
-        cs, ci = jax.lax.top_k(s, min(k, chunk))
+        cs, ci = _select_top_k(s, min(k, chunk), approx_recall)
         cand_s = jnp.concatenate([best_s, cs], axis=1)
         cand_i = jnp.concatenate([best_i, col[ci]], axis=1)
         best_s, best_i = merge_top_k(cand_s, cand_i, k)

@@ -124,10 +124,15 @@ class RetrievalIndex:
     `scores_for` (CIRR subset recall needs exact per-member scores)."""
 
     def __init__(self, names: Sequence[str], features: np.ndarray,
-                 quantize: bool = False):
+                 quantize: bool = False,
+                 approx_recall: float | None = None):
         self.names = list(names)
         self.ids, self.vocab = names_to_ids(self.names)
         self.quantized = quantize
+        # None = exact top-k (default, parity tier); a float switches
+        # search() to the TPU approx_max_k selector at that recall
+        # target (serving/scale tier — ops/similarity.py ladder)
+        self.approx_recall = approx_recall
         if quantize:
             from fashionern_aaai2024_tpu.ops.quant import quantize_rows
 
@@ -144,11 +149,12 @@ class RetrievalIndex:
 
             scores, idx = blocked_top_k_similarity_int8(
                 jnp.asarray(query_features), self.features_q, self.scales,
-                k=k, chunk=chunk,
+                k=k, chunk=chunk, approx_recall=self.approx_recall,
             )
             return np.asarray(scores), np.asarray(idx)
         scores, idx = blocked_top_k_similarity(
-            jnp.asarray(query_features), self.features, k=k, chunk=chunk
+            jnp.asarray(query_features), self.features, k=k, chunk=chunk,
+            approx_recall=self.approx_recall,
         )
         return np.asarray(scores), np.asarray(idx)
 
@@ -180,12 +186,14 @@ def sharded_search(
     gallery_features: jnp.ndarray,
     k: int = 51,
     chunk: int | None = None,
+    approx_recall: float | None = None,
 ):
     """Top-k over a mesh-sharded gallery: each shard computes a local
     top-k via the blocked scan, then shard results are merged. Queries
     are replicated; gallery rows live on the `data` axis, so the only
     cross-chip traffic is the [Q, k] candidate sets (all-gather over ICI),
-    never the full similarity matrix."""
+    never the full similarity matrix. `approx_recall` switches the
+    per-shard selector to the TPU approx tier (ops/similarity.py)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = gallery_features.shape[0]
@@ -202,7 +210,8 @@ def sharded_search(
         # negative-scoring rows from the last shard's candidate set
         n_valid = jnp.clip(n - shard_id * per, 0, per)
         s, i = blocked_top_k_similarity(q_rep, gal_shard, k=min(k, per),
-                                        chunk=chunk, n_valid=n_valid)
+                                        chunk=chunk, n_valid=n_valid,
+                                        approx_recall=approx_recall)
         gi = i + shard_id * per
         valid = s > -jnp.inf
         gi = jnp.where(valid, gi, jnp.iinfo(jnp.int32).max)

@@ -26,6 +26,7 @@ import numpy as np
 
 from fashionern_aaai2024_tpu.models.clip.tokenizer import tokenize
 from fashionern_aaai2024_tpu.data.captions import join_fiq_captions
+from fashionern_aaai2024_tpu.ops.similarity import _select_top_k
 from fashionern_aaai2024_tpu.retrieval import metrics as M
 from fashionern_aaai2024_tpu.retrieval.engine import (
     GalleryFeatures,
@@ -41,7 +42,8 @@ class InferenceAPI:
     def __init__(self, model, variables: dict, batch_size: int = 32,
                  context_length: int = 77, tokenizer=None, mesh=None,
                  quantize_gallery: bool = False,
-                 quantize_refs: bool = False):
+                 quantize_refs: bool = False,
+                 approx_recall: float | None = None):
         """`tokenizer`: callable (captions, context_length) → int32 [B, L];
         defaults to the vendored CLIP BPE (`models.clip.tokenizer`).
 
@@ -58,6 +60,13 @@ class InferenceAPI:
         inputs (same trade family as --quantize-towers; top-k overlap
         pinned by test).
 
+        `approx_recall`: None = exact top-k everywhere (default,
+        parity tier); a float switches every gallery-wide top-k this
+        API builds (eval search, serve programs, mesh serve) to the TPU
+        `approx_max_k` selector at that recall target — the measured
+        serving/scale tier (ops/similarity.py ladder: 9.0× search q/s
+        at N=200k, recall 0.984 at 0.95).
+
         `mesh`: optional DP mesh — batches are sharded over its `data`
         axis so gallery/query embedding runs on every chip (the
         "gallery embedding over ICI" scaling axis, SURVEY §5);
@@ -65,6 +74,7 @@ class InferenceAPI:
         self.mesh = mesh
         self.quantize_gallery = quantize_gallery
         self.quantize_refs = quantize_refs
+        self.approx_recall = approx_recall
         if mesh is not None:
             from fashionern_aaai2024_tpu.parallel.mesh import DATA_AXIS
 
@@ -300,6 +310,7 @@ class InferenceAPI:
             ref_features = pad_cap(ref_features)
             ref_patches = pad_cap(ref_patches)
         quantized = self.quantize_gallery
+        approx_recall = self.approx_recall
         if quantized:
             # honor --quantize-gallery on the FAST path too: score via
             # int8 x int8 MXU dot with per-row rescale — the same math
@@ -353,7 +364,7 @@ class InferenceAPI:
                 v, rf.astype(jnp.float32), rp.astype(jnp.float32),
                 tg.astype(jnp.float32), ts.astype(jnp.float32),
                 method=model.query)
-            return jax.lax.top_k(score_rows(pred, g), k_max)
+            return _select_top_k(score_rows(pred, g), k_max, approx_recall)
 
         if growable:
             # dynamic valid-row count: rows ≥ n_valid are zero padding
@@ -368,7 +379,7 @@ class InferenceAPI:
                 scores = score_rows(pred, g)
                 valid = jnp.arange(scores.shape[1]) < n_valid
                 scores = jnp.where(valid[None, :], scores, -jnp.inf)
-                return jax.lax.top_k(scores, k_max)
+                return _select_top_k(scores, k_max, approx_recall)
 
             jfn = jax.jit(fn)
         elif by_rows:
@@ -537,6 +548,7 @@ class InferenceAPI:
         per = -(-n_rows // n_dev)
         k_local = min(k_max, per)
         quantized = self.quantize_gallery
+        approx_recall = self.approx_recall
 
         def shard_rows(x):
             # pad on HOST (numpy) and device_put straight to the sharded
@@ -618,7 +630,7 @@ class InferenceAPI:
             # rows from the last shard's candidate set
             col_valid = start + jnp.arange(scores.shape[1]) < n_rows
             scores = jnp.where(col_valid[None, :], scores, -jnp.inf)
-            s, i = jax.lax.top_k(scores, k_local)
+            s, i = _select_top_k(scores, k_local, approx_recall)
             gi = i + start
             valid = s > -jnp.inf
             gi = jnp.where(valid, gi, jnp.iinfo(jnp.int32).max)
@@ -711,7 +723,8 @@ def generate_predictions(
 def _search_ids(api, gallery: GalleryFeatures, preds: np.ndarray, k: int):
     refined = api.refine_gallery(gallery.features, gallery.local_features)
     index = RetrievalIndex(gallery.names, refined,
-                           quantize=getattr(api, "quantize_gallery", False))
+                           quantize=getattr(api, "quantize_gallery", False),
+                           approx_recall=getattr(api, "approx_recall", None))
     k = min(k, len(gallery.names))
     scores, idx = index.search(preds, k=k)
     return index, index.topk_ids(idx)
@@ -780,7 +793,8 @@ def evaluate_cirr(api, classic_loader, relative_loader) -> dict:
     )
     refined = api.refine_gallery(gallery.features, gallery.local_features)
     index = RetrievalIndex(gallery.names, refined,
-                           quantize=getattr(api, "quantize_gallery", False))
+                           quantize=getattr(api, "quantize_gallery", False),
+                           approx_recall=getattr(api, "approx_recall", None))
     k = min(51, len(gallery.names))
     _, idx = index.search(preds, k=k)
     topk_ids = index.topk_ids(idx)

@@ -117,7 +117,8 @@ class RetrievalService(_ServiceBase):
         self.gallery = gallery
         self._initial_refined = np.asarray(refined, np.float32)
         self.index = RetrievalIndex(gallery.names, refined,
-                                    quantize=api.quantize_gallery)
+                                    quantize=api.quantize_gallery,
+                                    approx_recall=api.approx_recall)
         self.rows = E.last_wins_rows(gallery.names)
         self.capacity = capacity
         # one-dispatch serving program with small-batch compile buckets
@@ -209,7 +210,8 @@ class RetrievalService(_ServiceBase):
             self.index = RetrievalIndex(
                 self.gallery.names,
                 getattr(self, "_refined", self._initial_refined),
-                quantize=self.api.quantize_gallery)
+                quantize=self.api.quantize_gallery,
+                approx_recall=self.api.approx_recall)
         return self.index
 
     def add_from_paths(self, items: Sequence[dict]) -> dict:

@@ -592,3 +592,69 @@ class TestGrowableServe:
         from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
         with pytest.raises(ValueError, match="single-device"):
             self._build(api, gal, rf, rp, capacity=20, mesh=create_mesh(8))
+
+
+class TestApproxTopK:
+    """`approx_recall` tier: on CPU `lax.approx_max_k` lowers to the
+    exact sort with identical tie-breaking, so every approx-tier path
+    is pinned bit-for-bit against its exact twin here; the TPU
+    speed/recall ladder is measured in benchmarks/topk_probe.py and
+    recorded in ops/similarity.py."""
+
+    def _api_approx(self, api):
+        a = E.InferenceAPI(api.model, api.variables, batch_size=8,
+                           context_length=16, tokenizer=fake_tokenizer,
+                           approx_recall=0.95)
+        return a
+
+    def test_serve_fn_matches_exact(self, api):
+        g = np.random.default_rng(11)
+        n = 21
+        gal = g.standard_normal((n, DIM)).astype(np.float32)
+        rf = g.standard_normal((n, DIM)).astype(np.float32)
+        rp = g.standard_normal((n, 13, DIM)).astype(np.float32)
+        exact = api.build_serve_fn(gal, k_max=7, buckets=(4,),
+                                   ref_features=rf, ref_patches=rp)
+        approx = self._api_approx(api).build_serve_fn(
+            gal, k_max=7, buckets=(4,), ref_features=rf, ref_patches=rp)
+        ids = fake_tokenizer(["is red", "blue dress"], 16)
+        s1, i1 = exact(ids, [0, n - 1], k=7)
+        s2, i2 = approx(ids, [0, n - 1], k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    def test_sharded_serve_fn_matches_exact(self, api):
+        from fashionern_aaai2024_tpu.parallel.mesh import create_mesh
+
+        g = np.random.default_rng(12)
+        n = 21
+        gal = g.standard_normal((n, DIM)).astype(np.float32)
+        rf = g.standard_normal((n, DIM)).astype(np.float32)
+        rp = g.standard_normal((n, 13, DIM)).astype(np.float32)
+        api_a = self._api_approx(api)
+        plain = api_a.build_serve_fn(gal, k_max=7, buckets=(4,),
+                                     ref_features=rf, ref_patches=rp)
+        sharded = api_a.build_serve_fn(gal, k_max=7, buckets=(4,),
+                                       ref_features=rf, ref_patches=rp,
+                                       mesh=create_mesh(8))
+        ids = fake_tokenizer(["is red", "blue dress"], 16)
+        s1, i1 = plain(ids, [0, n - 1], k=7)
+        s2, i2 = sharded(ids, [0, n - 1], k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        assert int(np.max(i2)) < n  # pad rows never surface
+
+    def test_eval_pipeline_matches_exact(self, api):
+        names = [f"img{i}" for i in range(N_GALLERY)]
+        gal_items = make_gallery_items(names)
+        g = np.random.default_rng(13)
+        rel_items = [
+            {"ref_name": names[i], "tar_name": names[(i + 3) % N_GALLERY],
+             "captions": ["is red", "has sleeves"],
+             "ref_patch": g.standard_normal((13, DIM)).astype(np.float32)}
+            for i in range(10)
+        ]
+        run = lambda a: E.evaluate_fiq_split(
+            a, Loader(gal_items, 8, num_workers=0),
+            Loader(rel_items, 8, num_workers=0), ks=(1, 5))
+        assert run(self._api_approx(api)) == run(api)

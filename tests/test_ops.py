@@ -8,6 +8,11 @@ import pytest
 from fashionern_aaai2024_tpu.ops import layernorm, attention, losses, similarity
 
 
+def _unit(x):
+    x = np.asarray(x, np.float32)
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
 class TestLayerNorm:
     @pytest.mark.parametrize("shape", [(4, 91, 640), (32, 512), (3, 13, 128)])
     def test_pallas_matches_ref(self, rng, shape):
@@ -140,6 +145,34 @@ class TestBlockedTopK:
         g = jnp.asarray(rng.normal(size=(5, 8)), jnp.float32)
         scores, idx = similarity.blocked_top_k_similarity(q, g, k=51)
         assert idx.shape == (3, 5)
+
+    def test_approx_tier_exact_on_cpu(self, rng):
+        """The approx selector (`lax.approx_max_k`) lowers to the exact
+        sort on CPU with identical tie-breaking, so the approx tier is
+        pinned bit-for-bit against the exact tier here; its TPU recall
+        is the measured ladder in ops/similarity.py."""
+        q = _unit(rng.normal(size=(7, 32)).astype(np.float32))
+        g = _unit(rng.normal(size=(1000, 32)).astype(np.float32))
+        es, ei = similarity.blocked_top_k_similarity(
+            jnp.asarray(q), jnp.asarray(g), k=51, chunk=128)
+        as_, ai = similarity.blocked_top_k_similarity(
+            jnp.asarray(q), jnp.asarray(g), k=51, chunk=128,
+            approx_recall=0.95)
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
+        np.testing.assert_array_equal(np.asarray(as_), np.asarray(es))
+
+    def test_approx_tier_masks_external_padding(self, rng):
+        """n_valid masking applies before the approx selector too: pad
+        rows (score 0) must never evict real negative-scoring rows."""
+        q = _unit(rng.normal(size=(2, 16)).astype(np.float32))
+        real = _unit(-q[0:1] - q[1:2] + 0.01 * rng.normal(size=(6, 16)))
+        g = np.concatenate([real.astype(np.float32),
+                            np.zeros((4, 16), np.float32)])
+        s, i = similarity.blocked_top_k_similarity(
+            jnp.asarray(q), jnp.asarray(g), k=6, chunk=5,
+            n_valid=jnp.asarray(6), approx_recall=0.95)
+        assert (np.asarray(i) < 6).all()
+        assert (np.asarray(s) < 0).all()
 
 
 class TestAttentionBf16Path:

@@ -36,6 +36,17 @@ class TestRetrievalIndex:
         want = np.stack([q[i] @ gal[members[i]].T for i in range(3)])
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_approx_tier_matches_exact_on_cpu(self, rng):
+        gal = _normed(rng, 500, 16)
+        q = _normed(rng, 9, 16)
+        exact = engine.RetrievalIndex([f"g{i}" for i in range(500)], gal)
+        approx = engine.RetrievalIndex([f"g{i}" for i in range(500)], gal,
+                                       approx_recall=0.95)
+        se, ie = exact.search(q, k=20, chunk=64)
+        sa, ia = approx.search(q, k=20, chunk=64)
+        np.testing.assert_array_equal(ia, ie)
+        np.testing.assert_array_equal(sa, se)
+
 
 class TestShardedSearch:
     def test_matches_single_device(self, rng):
@@ -46,6 +57,17 @@ class TestShardedSearch:
         q = _normed(rng, 5, 16)
         want = np.argsort(-(q @ gal.T), axis=1, kind="stable")[:, :20]
         scores, idx = engine.sharded_search(mesh, q, gal, k=20, chunk=32)
+        np.testing.assert_array_equal(idx, want)
+
+    def test_approx_tier_matches_exact_on_cpu(self, rng):
+        from fashionern_aaai2024_tpu.parallel import create_mesh
+
+        mesh = create_mesh(len(jax.devices()))
+        gal = _normed(rng, 300, 16)
+        q = _normed(rng, 5, 16)
+        want = np.argsort(-(q @ gal.T), axis=1, kind="stable")[:, :20]
+        scores, idx = engine.sharded_search(mesh, q, gal, k=20, chunk=32,
+                                            approx_recall=0.95)
         np.testing.assert_array_equal(idx, want)
 
     def test_pad_rows_cannot_evict_negative_scoring_rows(self, rng):
@@ -184,6 +206,20 @@ class TestQuantizedIndex:
         assert overlap >= 0.95, overlap
         # top-1 identical on well-separated random data
         assert (ei[:, 0] == qi[:, 0]).mean() >= 0.9
+
+    def test_int8_approx_tier_matches_int8_exact_on_cpu(self, rng):
+        from fashionern_aaai2024_tpu.retrieval.engine import RetrievalIndex
+
+        gal = _normed(rng, 300, 16)
+        q = _normed(rng, 7, 16)
+        names = [f"g{i}" for i in range(300)]
+        exact = RetrievalIndex(names, gal, quantize=True)
+        approx = RetrievalIndex(names, gal, quantize=True,
+                                approx_recall=0.95)
+        se, ie = exact.search(q, k=20, chunk=64)
+        sa, ia = approx.search(q, k=20, chunk=64)
+        np.testing.assert_array_equal(ia, ie)
+        np.testing.assert_array_equal(sa, se)
 
     def test_scores_for_uses_exact_features(self, rng):
         from fashionern_aaai2024_tpu.retrieval.engine import RetrievalIndex
