@@ -151,6 +151,14 @@ class SimpleTokenizer:
         self.decoder = {i: tok for tok, i in self.encoder.items()}
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
         self.cache = {SOT_TEXT: SOT_TEXT, EOT_TEXT: EOT_TEXT}
+        # native (C++) fast path for printable-ASCII texts: identical
+        # ids (parity pinned by tests), GIL-free encode; rows the C core
+        # flags (entities/unicode/special tokens) re-encode right here
+        # in Python, and everything degrades to pure Python when no
+        # toolchain exists (native/tokenizer.py)
+        self._native = None
+        self._native_tried = False
+        self._merges = list(merges)
 
     @property
     def vocab_size(self) -> int:
@@ -224,14 +232,38 @@ class SimpleTokenizer:
         zero-padded. Returns int32 [B, context_length]."""
         if isinstance(texts, str):
             texts = [texts]
-        result = np.zeros((len(texts), context_length), dtype=np.int32)
-        for i, text in enumerate(texts):
-            tokens = [self.sot_token] + self.encode(text) + [self.eot_token]
+        native = self._get_native()
+        if native is not None:
+            result, fallback = native.encode_batch(list(texts), context_length)
+            rows = np.flatnonzero(fallback)
+        else:
+            result = np.zeros((len(texts), context_length), dtype=np.int32)
+            rows = np.arange(len(texts))
+        for i in rows:
+            tokens = [self.sot_token] + self.encode(texts[i]) + [self.eot_token]
             if len(tokens) > context_length:
                 tokens = tokens[:context_length]
                 tokens[-1] = self.eot_token
+            result[i, :] = 0
             result[i, : len(tokens)] = tokens
         return result
+
+    def _get_native(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from fashionern_aaai2024_tpu.native import tokenizer as nt
+
+                if nt.available():
+                    cand = nt.NativeBPE(self._merges)
+                    # id-space handshake: the C vocab must line up with
+                    # the Python encoder or the handle is refused
+                    if (cand.sot_token == self.sot_token
+                            and cand.eot_token == self.eot_token):
+                        self._native = cand
+            except Exception:  # pragma: no cover - any failure → Python
+                self._native = None
+        return self._native
 
 
 @functools.lru_cache()

@@ -91,3 +91,96 @@ class TestStoreIntegration:
         store = PatchFeatureStore(str(tmp_path))
         batch = store.get_batch(["n3", "n1", "n8"])
         np.testing.assert_array_equal(batch, feats[[3, 1, 8]])
+
+
+class TestNativeTokenizer:
+    """fasttokenizer.cpp parity: identical token ids to the pure-Python
+    SimpleTokenizer on the ASCII fast path, per-row fallback for
+    everything else, GIL-free concurrent encodes."""
+
+    TRICKY = [
+        "is red with longer sleeves",
+        "Has a FLORAL print and it's sleeveless!!",
+        "  multiple   spaces\tand\ttabs ",
+        "don't can't we'll they're i've i'm you'd",
+        "punct...!?';:' mix 'x 123 4a5 9",
+        "", " ", "'s", "'", "''ll", "1'2",
+        "a&amp;b entity",            # & -> fallback (html.unescape)
+        "café unicode",          # non-ASCII -> fallback
+        "<|startoftext|> special",   # special-token literal -> fallback
+        "<|EndOfText|>", "< |not special",
+        "x" * 500,                   # truncation forces last slot = EOT
+    ]
+
+    @pytest.fixture(scope="class")
+    def merges(self):
+        import sys
+        sys.path.insert(0, os.path.dirname(__file__))
+        from test_clip import _learn_bpe_merges
+
+        corpus = open(
+            os.path.join(os.path.dirname(__file__), "fixtures",
+                         "bpe_captions.txt")).read().splitlines()
+        return _learn_bpe_merges(corpus, 400)
+
+    def _pair(self, merges):
+        from fashionern_aaai2024_tpu.models.clip.tokenizer import SimpleTokenizer
+
+        tok_native = SimpleTokenizer(merges=merges)
+        tok_python = SimpleTokenizer(merges=merges)
+        tok_python._native_tried = True  # pin the pure-Python path
+        if tok_native._get_native() is None:
+            pytest.skip("native tokenizer unavailable (no toolchain)")
+        return tok_native, tok_python
+
+    def test_tricky_cases_identical(self, merges):
+        tok_n, tok_p = self._pair(merges)
+        np.testing.assert_array_equal(
+            tok_n(self.TRICKY, 77), tok_p(self.TRICKY, 77))
+
+    def test_fallback_rows_actually_fall_back(self, merges):
+        """The C core must FLAG (not mis-encode) entity/unicode/special
+        rows; flagged rows re-encode through Python inside __call__."""
+        from fashionern_aaai2024_tpu.native.tokenizer import NativeBPE
+
+        nb = NativeBPE(merges)
+        _, fb = nb.encode_batch(
+            ["plain ascii", "a&b", "café", "<|endoftext|>"], 16)
+        assert fb.tolist() == [False, True, True, True]
+
+    def test_ascii_fuzz_identical(self, merges):
+        import random
+        import string
+
+        tok_n, tok_p = self._pair(merges)
+        rng = random.Random(7)
+        alphabet = string.ascii_letters + string.digits + \
+            string.punctuation + "  '"
+        fuzz = ["".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 60)))
+                for _ in range(500)]
+        np.testing.assert_array_equal(tok_n(fuzz, 77), tok_p(fuzz, 77))
+
+    def test_threaded_encodes_agree(self, merges):
+        from concurrent.futures import ThreadPoolExecutor
+
+        tok_n, tok_p = self._pair(merges)
+        caps = [f"thread cap word{i} color{i*3}" for i in range(64)]
+        want = tok_p(caps, 32)
+        with ThreadPoolExecutor(8) as pool:
+            outs = list(pool.map(lambda _: tok_n(caps, 32), range(16)))
+        for o in outs:
+            np.testing.assert_array_equal(o, want)
+
+    def test_disabled_via_env(self, merges, monkeypatch):
+        from fashionern_aaai2024_tpu.native import tokenizer as nt
+
+        monkeypatch.setenv("FASHIONERN_NO_NATIVE", "1")
+        monkeypatch.setattr(nt, "_LIB", None)
+        monkeypatch.setattr(nt, "_TRIED", False)
+        assert not nt.available()
+        from fashionern_aaai2024_tpu.models.clip.tokenizer import SimpleTokenizer
+
+        tok = SimpleTokenizer(merges=merges)
+        assert tok._get_native() is None
+        assert tok(["still works"], 16).shape == (1, 16)
