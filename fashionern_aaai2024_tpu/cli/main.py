@@ -654,6 +654,7 @@ def run_train(args) -> None:
 def run_info() -> dict:
     from fashionern_aaai2024_tpu import __version__, native
     from fashionern_aaai2024_tpu.native import image as native_image
+    from fashionern_aaai2024_tpu.native import tokenizer as native_tokenizer
     from fashionern_aaai2024_tpu.models.clip.config import _CONFIGS
     from fashionern_aaai2024_tpu.models.zoo import _ZOO
     from fashionern_aaai2024_tpu.ops.extra_losses import LOSS_REGISTRY
@@ -669,6 +670,12 @@ def run_info() -> dict:
         "zoo_models": sorted(_ZOO),
         "native_loader": native.available(),
         "native_image": native_image.available(),
+        "native_tokenizer": native_tokenizer.available(),
+        "topk_tiers": {
+            "exact": "lax.top_k (default; parity tier)",
+            "approx": "--topk-recall R -> lax.approx_max_k (TPU hardware "
+                      "reduction; 8.6x search q/s at N=200k, r3 ledger)",
+        },
         # kernel dispatch summary (ops/attention.py, BASELINE.md ledger)
         "pallas_kernels": {
             "enabled": use_pallas(),
