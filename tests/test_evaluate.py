@@ -556,6 +556,27 @@ class TestGrowableServe:
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(s1, s2, atol=1e-5)
 
+    def test_approx_growable_matches_rebuild(self, api):
+        """approx_recall composes with the growable program: the
+        dynamic n_valid mask applies before the approx selector (on CPU
+        approx is the exact sort, so equality is bit-for-bit)."""
+        a = E.InferenceAPI(api.model, api.variables, batch_size=8,
+                           context_length=16, tokenizer=fake_tokenizer,
+                           approx_recall=0.95)
+        gal, rf, rp = self._arrays(31, 15)
+        grow = self._build(a, gal, rf, rp, capacity=40)
+        g2, f2, p2 = self._arrays(32, 5)
+        assert grow.update_rows(15, g2, f2, p2) == 20
+        rebuilt = self._build(a, np.concatenate([gal, g2]),
+                              np.concatenate([rf, f2]),
+                              np.concatenate([rp, p2]))
+        ids = fake_tokenizer(["is red", "long dress"], 16)
+        s1, i1 = grow(ids, [0, 18], k=7)
+        s2, i2 = rebuilt(ids, [0, 18], k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(s1, s2, atol=1e-5)
+        assert int(np.max(i1)) < 20  # capacity pad rows never surface
+
     @pytest.mark.parametrize("flag", ["quantize_gallery", "quantize_refs"])
     def test_quantized_combos_match_rebuild(self, api, flag):
         api_q = E.InferenceAPI(api.model, api.variables, batch_size=8,
