@@ -316,23 +316,31 @@ class InferenceAPI:
             # int8 x int8 MXU dot with per-row rescale — the same math
             # as RetrievalIndex.search's quantized tier, so small-k
             # (fused) and large-k (fallback) answers agree, and the
-            # fp32 score-matrix copy never lands on the device
-            from fashionern_aaai2024_tpu.ops.quant import quantize_rows
+            # fp32 score-matrix copy never lands on the device.
+            # Quantize on HOST (numerically identical to the device
+            # twin, pinned by TestQuantizeRowsNp) so only int8 bytes
+            # cross H2D — quantizing on device staged the full fp32
+            # array first, a 4x bigger upload AND a transient HBM spike
+            # that OOMed a 200k-item build on the scale drive
+            from fashionern_aaai2024_tpu.ops.quant import quantize_rows_np
 
-            gal = quantize_rows(jnp.asarray(gallery_features, jnp.float32))
+            qv, qs = quantize_rows_np(np.asarray(gallery_features, np.float32))
+            gal = (jnp.asarray(qv), jnp.asarray(qs))
         else:
             gal = jnp.asarray(gallery_features, jnp.float32)
 
         quantize_refs = self.quantize_refs
         if by_rows:
             if quantize_refs:
-                from fashionern_aaai2024_tpu.ops.quant import quantize_rows
+                from fashionern_aaai2024_tpu.ops.quant import quantize_rows_np
 
                 n, pn = int(ref_patches.shape[0]), int(ref_patches.shape[1])
-                ref_f = quantize_rows(jnp.asarray(ref_features, jnp.float32))
-                pq, ps = quantize_rows(
-                    jnp.asarray(ref_patches, jnp.float32).reshape(-1, feat_dim))
-                ref_p = (pq.reshape(n, pn, feat_dim), ps.reshape(n, pn))
+                fv, fs = quantize_rows_np(np.asarray(ref_features, np.float32))
+                ref_f = (jnp.asarray(fv), jnp.asarray(fs))
+                pq, ps = quantize_rows_np(
+                    np.asarray(ref_patches, np.float32).reshape(-1, feat_dim))
+                ref_p = (jnp.asarray(pq.reshape(n, pn, feat_dim)),
+                         jnp.asarray(ps.reshape(n, pn)))
             else:
                 ref_f = jnp.asarray(ref_features, jnp.float32)
                 ref_p = jnp.asarray(ref_patches, jnp.float32)
