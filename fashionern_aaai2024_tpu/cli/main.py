@@ -154,6 +154,16 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--no-dynamic-batching", action="store_true",
                     help="disable coalescing of concurrent single queries "
                          "into shared dispatches (on by default)")
+    sv.add_argument("--native-front", action="store_true",
+                    help="serve /query through the C++ epoll front-end "
+                         "(native/fastserve.cpp): HTTP+JSON parse, BPE "
+                         "tokenize, and micro-batching all run GIL-free; "
+                         "Python keeps only the jitted dispatch. Admin "
+                         "endpoints (/add, /reload) stay on a Python "
+                         "server at --admin-port")
+    sv.add_argument("--admin-port", default=None, type=int,
+                    help="port for the Python admin server when "
+                         "--native-front is set (default: port+1)")
 
     ex = sub.add_parser(
         "export",
@@ -547,11 +557,37 @@ def run_serve(args) -> None:
     from fashionern_aaai2024_tpu.retrieval.server import serve
 
     service = build_service(args)
-    httpd = serve(service, host=args.host, port=args.port,
-                  dynamic_batching=not args.no_dynamic_batching)
     mesh = getattr(service._serve_fn, "mesh", None)
     shard_note = (f", gallery sharded over {mesh.devices.size} devices"
                   if mesh is not None else "")
+    if getattr(args, "native_front", False):
+        from fashionern_aaai2024_tpu.native import serve_frontend as SF
+
+        if not SF.available():
+            print("native front-end unavailable (build failed); falling "
+                  "back to the Python HTTP server", flush=True)
+        else:
+            ns = SF.serve_native(service, host=args.host, port=args.port)
+            admin_port = (args.admin_port if args.admin_port is not None
+                          else args.port + 1)
+            httpd = serve(service, host=args.host, port=admin_port,
+                          dynamic_batching=not args.no_dynamic_batching)
+            print(f"serving {service.gallery_size} gallery items on "
+                  f"http://{args.host}:{ns.port} (native front; admin "
+                  f"/add /reload on "
+                  f"http://{args.host}:{httpd.server_address[1]}; "
+                  f"startup {service.startup_seconds:.1f}s{shard_note})",
+                  flush=True)
+            t = __import__("threading").Thread(
+                target=httpd.serve_forever, daemon=True)
+            t.start()
+            try:
+                ns.wait()
+            except KeyboardInterrupt:
+                ns.shutdown()
+            return
+    httpd = serve(service, host=args.host, port=args.port,
+                  dynamic_batching=not args.no_dynamic_batching)
     print(f"serving {service.gallery_size} gallery items on "
           f"http://{args.host}:{httpd.server_address[1]} "
           f"(startup {service.startup_seconds:.1f}s{shard_note})", flush=True)

@@ -135,6 +135,9 @@ class RetrievalService(_ServiceBase):
             self._serve_fn.warmup()
         self.startup_seconds = time.time() - t0
         self.caption_join = caption_join or (lambda c: c)
+        # native front-ends may tokenize on their own thread only when
+        # no Python-side caption transform sits before the tokenizer
+        self.caption_join_is_identity = caption_join is None
         self._init_stats()
 
     def add_items(self, names: Sequence[str], images: np.ndarray,
@@ -199,6 +202,11 @@ class RetrievalService(_ServiceBase):
             # full-gallery re-upload per add
             self.index = None
             n_valid = self._serve_fn.n_valid()
+        # notify a native front-end (if attached) that the name table
+        # changed — it keeps its own lock-free name→row map
+        cb = getattr(self, "names_changed_cb", None)
+        if cb is not None:
+            cb()
         return {"added": len(append), "replaced": len(replace),
                 "gallery_size": n_valid,
                 "seconds": round(time.time() - t0, 3)}

@@ -1,0 +1,417 @@
+"""Native serving front-end (fastserve.cpp): epoll HTTP + C++ batcher
++ IO-thread tokenization, driven through real sockets.
+
+Two layers:
+  * stub-backed — a fake serve fn pins protocol semantics (batching,
+    fallback tokenization parity, errors, live name swaps) without JAX;
+  * tiny-model — the same RetrievalService as test_server.py behind the
+    native front must answer exactly what the Python front answers.
+"""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from fashionern_aaai2024_tpu.native import serve_frontend as SF
+
+pytestmark = pytest.mark.skipif(
+    not SF.available(), reason="native serve front-end did not build")
+
+
+def _post(url, payload, timeout=30):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _get(url, timeout=30):
+    with urllib.request.urlopen(url, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def _post_err(url, payload) -> tuple[int, dict]:
+    try:
+        _post(url, payload)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+    raise AssertionError("expected an HTTP error")
+
+
+# --------------------------------------------------------------- stubs
+class StubServeFn:
+    """Deterministic fake of the fused serve program: 'scores' encode the
+    row and first token id so tests can check exactly what reached the
+    device thread."""
+
+    k_max = 5
+    buckets = (1, 4, 8)
+
+    def __init__(self):
+        self.seen = []  # (ids, rows, k) per dispatch
+        self.raise_next = None
+
+    def __call__(self, ids, rows, k=10):
+        if self.raise_next is not None:
+            e, self.raise_next = self.raise_next, None
+            raise e
+        self.seen.append((np.array(ids), np.array(rows), k))
+        n = ids.shape[0]
+        k = min(k, self.k_max)
+        idx = np.tile(np.arange(k, dtype=np.int32), (n, 1))
+        scores = (rows[:, None].astype(np.float32) * 1000.0
+                  + ids[:, 1:2].astype(np.float32)
+                  - np.arange(k, dtype=np.float32))
+        return scores, idx
+
+
+class StubAPI:
+    def __init__(self, tokenizer, ctx):
+        self._tokenizer = tokenizer
+        self.context_length = ctx
+
+    def tokenize(self, caps):
+        return self._tokenizer(caps, self.context_length)
+
+
+class StubService:
+    def __init__(self, names, tokenizer, ctx=16, caption_join=None):
+        class G:
+            pass
+
+        self.gallery = G()
+        self.gallery.names = list(names)
+        self.api = StubAPI(tokenizer, ctx)
+        self._serve_fn = StubServeFn()
+        self.caption_join = caption_join or (lambda c: c)
+        self.caption_join_is_identity = caption_join is None
+
+
+def fake_tokenizer(texts, context_length=16):
+    out = np.zeros((len(texts), context_length), np.int32)
+    for i, t in enumerate(texts):
+        h = [hash(w) % 97 + 1 for w in t.split()][:context_length]
+        out[i, : len(h)] = h
+    return out
+
+
+@pytest.fixture()
+def stub():
+    svc = StubService([f"img{i}" for i in range(10)], fake_tokenizer)
+    ns = SF.serve_native(svc, port=0)
+    yield svc, ns, f"http://127.0.0.1:{ns.port}"
+    ns.shutdown()
+
+
+class TestProtocol:
+    def test_healthz_and_stats(self, stub):
+        svc, ns, url = stub
+        h = _get(f"{url}/healthz")
+        assert h == {"status": "ok", "gallery_size": 10}
+        s = _get(f"{url}/stats")
+        assert s["native_frontend"] is True
+        assert s["gallery_size"] == 10
+
+    def test_single_query_roundtrip(self, stub):
+        svc, ns, url = stub
+        out = _post(f"{url}/query",
+                    {"ref_name": "img3", "caption": "red dress", "k": 3})
+        assert len(out["results"]) == 3
+        assert out["results"][0]["name"] == "img0"  # idx arange
+        ids, rows, k = svc._serve_fn.seen[-1]
+        assert rows[0] == 3
+        # fallback path (custom tokenizer) must produce the Python ids
+        np.testing.assert_array_equal(
+            ids[0], fake_tokenizer(["red dress"])[0])
+        # score encodes row*1000 + first token id
+        want = 3000.0 + float(ids[0, 1])
+        assert out["results"][0]["score"] == pytest.approx(want)
+
+    def test_client_batch(self, stub):
+        svc, ns, url = stub
+        out = _post(f"{url}/query", {
+            "ref_names": ["img1", "img2"],
+            "captions": ["blue shoes", "green hat"], "k": 2})
+        assert len(out["results"]) == 2
+        assert all(len(r) == 2 for r in out["results"])
+        ids, rows, _ = svc._serve_fn.seen[-1]
+        assert list(rows[:2]) == [1, 2]
+
+    def test_unknown_ref_404(self, stub):
+        _, _, url = stub
+        code, body = _post_err(f"{url}/query",
+                               {"ref_name": "nope", "caption": "x", "k": 2})
+        assert code == 404 and "nope" in body["error"]
+
+    def test_bad_json_400(self, stub):
+        _, _, url = stub
+        req = urllib.request.Request(
+            f"{url}/query", data=b"{not json", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
+
+    def test_k_above_kmax_400(self, stub):
+        _, _, url = stub
+        code, body = _post_err(
+            f"{url}/query", {"ref_name": "img0", "caption": "x", "k": 99})
+        assert code == 400 and "k_max" in body["error"]
+
+    def test_caption_too_long_400(self, stub):
+        _, _, url = stub
+        code, body = _post_err(f"{url}/query", {
+            "ref_name": "img0", "caption": "y" * (65 * 1024)})
+        assert code == 400 and "caption too long" in body["error"]
+
+    def test_admin_endpoints_501(self, stub):
+        _, _, url = stub
+        code, body = _post_err(f"{url}/add", {"items": []})
+        assert code == 501 and "admin" in body["error"]
+
+    def test_unknown_path_404(self, stub):
+        _, _, url = stub
+        code, _ = _post_err(f"{url}/wat", {})
+        assert code == 404
+
+    def test_dispatch_failure_500(self, stub):
+        svc, ns, url = stub
+        svc._serve_fn.raise_next = RuntimeError("device exploded")
+        try:
+            _post(f"{url}/query", {"ref_name": "img0", "caption": "x",
+                                   "k": 2})
+            raise AssertionError("expected 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "device exploded" in json.loads(e.read())["error"]
+        # the daemon must keep serving after a failed dispatch
+        out = _post(f"{url}/query", {"ref_name": "img1", "caption": "y",
+                                     "k": 5})
+        assert len(out["results"]) == 5
+
+    def test_live_name_swap(self, stub):
+        svc, ns, url = stub
+        svc.gallery.names.append("newitem")
+        svc.names_changed_cb()  # what add_items calls
+        out = _post(f"{url}/query",
+                    {"ref_name": "newitem", "caption": "z", "k": 1})
+        ids, rows, _ = svc._serve_fn.seen[-1]
+        assert rows[0] == 10
+        assert out["results"]
+
+    def test_concurrent_singles_coalesce(self, stub):
+        svc, ns, url = stub
+        n0 = len(svc._serve_fn.seen)
+        results = {}
+
+        def one(i):
+            results[i] = _post(f"{url}/query", {
+                "ref_name": f"img{i % 10}", "caption": f"cap {i}", "k": 1})
+
+        threads = [threading.Thread(target=one, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 16
+        dispatched = sum(r[0].shape[0] for r in svc._serve_fn.seen[n0:])
+        assert dispatched == 16
+        # per-item correctness survived coalescing
+        for i, out in results.items():
+            ids = fake_tokenizer([f"cap {i}"])[0]
+            want = float(i % 10) * 1000.0 + float(ids[1])
+            assert out["results"][0]["score"] == pytest.approx(want)
+        s = _get(f"{url}/stats")
+        assert s["dynamic_batching"]["items"] >= 16
+        assert s["latency_ms"]["p50"] is not None
+
+
+class TestNativeTokenizeParity:
+    def test_io_thread_ids_match_python(self):
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_clip import _learn_bpe_merges
+
+        from fashionern_aaai2024_tpu.models.clip.tokenizer import SimpleTokenizer
+
+        corpus = ("a red dress with long sleeves and a blue floral print "
+                  "shirt is shown darker more colorful")
+        merges = _learn_bpe_merges(corpus, 400)
+        tok = SimpleTokenizer(merges=merges)
+
+        svc = StubService([f"img{i}" for i in range(4)],
+                          lambda caps, ctx: tok(caps, ctx), ctx=16)
+        sf = SF.NativeFrontend(svc.gallery.names, ctx=16, max_batch=8,
+                               k_max=5, merges=merges)
+        sf.listen("127.0.0.1", 0)
+        t = threading.Thread(target=SF._device_loop, args=(sf, svc),
+                             daemon=True)
+        t.start()
+        url = f"http://127.0.0.1:{sf.port}"
+        try:
+            caps = ["a red dress", "blue floral shirt", "darker print"]
+            _post(f"{url}/query", {
+                "ref_names": ["img0", "img1", "img2"], "captions": caps,
+                "k": 1})
+            ids, _, _ = svc._serve_fn.seen[-1]
+            np.testing.assert_array_equal(ids[:3], tok(caps, 16))
+            # non-ASCII → flagged fallback → Python tokenizer, same ids
+            _post(f"{url}/query",
+                  {"ref_name": "img3", "caption": "café", "k": 1})
+            ids2, _, _ = svc._serve_fn.seen[-1]
+            np.testing.assert_array_equal(ids2[0], tok(["café"], 16)[0])
+        finally:
+            sf.shutdown()
+            t.join(timeout=10)
+            sf.close()
+
+
+# ------------------------------------------------------- real service
+D, CTX = 24, 16
+
+
+@pytest.fixture(scope="module")
+def tiny_service():
+    import jax
+
+    from fashionern_aaai2024_tpu.data.loader import Loader
+    from fashionern_aaai2024_tpu.models import composed
+    from fashionern_aaai2024_tpu.models.clip import config as clip_config
+    from fashionern_aaai2024_tpu.retrieval import evaluate as E
+    from fashionern_aaai2024_tpu.retrieval.server import RetrievalService
+
+    tiny = clip_config.CLIPConfig(
+        name="vit-test",
+        vision=clip_config.VisionConfig(
+            kind="vit", image_size=32, embed_dim=D, width=64, layers=2,
+            heads=4, patch_size=16),
+        text=clip_config.TextConfig(
+            vocab_size=100, context_length=CTX, width=32, heads=4, layers=2,
+            embed_dim=D),
+    )
+    model = composed.ComposedCIRModel(tiny, patch_num=13)
+    rng = jax.random.PRNGKey(0)
+    v = tiny.vision
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+        np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+        np.zeros((2, CTX), np.int32),
+        np.zeros((2, 13, D), np.float32),
+        np.zeros((2, 13, D), np.float32),
+        deterministic=False, method=model.train_forward,
+    )
+    api = E.InferenceAPI(model, variables, batch_size=8, context_length=CTX,
+                         tokenizer=fake_tokenizer)
+    g = np.random.default_rng(1)
+    items = [
+        {"name": f"img{i}", "image": g.random((32, 32, 3), dtype=np.float32),
+         "patch": g.standard_normal((13, D)).astype(np.float32)}
+        for i in range(12)
+    ]
+    return RetrievalService(api, Loader(items, 8, num_workers=0))
+
+
+class TestTinyModelEndToEnd:
+    def test_native_front_matches_python_service(self, tiny_service):
+        ns = SF.serve_native(tiny_service, port=0)
+        url = f"http://127.0.0.1:{ns.port}"
+        try:
+            refs = ["img2", "img7"]
+            caps = ["make it red", "longer sleeves"]
+            out = _post(f"{url}/query",
+                        {"ref_names": refs, "captions": caps, "k": 4})
+            want, _ = tiny_service.query(refs, caps, k=4)
+            for got_row, want_row in zip(out["results"], want):
+                assert [r["name"] for r in got_row] == \
+                    [r["name"] for r in want_row]
+                np.testing.assert_allclose(
+                    [r["score"] for r in got_row],
+                    [r["score"] for r in want_row], rtol=1e-5)
+            h = _get(f"{url}/healthz")
+            assert h["gallery_size"] == 12
+        finally:
+            ns.shutdown()
+
+    def test_live_add_visible_through_native_front(self):
+        """add_items on the live service (what the Python admin server's
+        POST /add calls) must push the grown name table into the C++
+        front: the new name resolves on the very next native query."""
+        import jax
+
+        from fashionern_aaai2024_tpu.data.loader import Loader
+        from fashionern_aaai2024_tpu.models import composed
+        from fashionern_aaai2024_tpu.models.clip import config as clip_config
+        from fashionern_aaai2024_tpu.retrieval import evaluate as E
+        from fashionern_aaai2024_tpu.retrieval.server import RetrievalService
+
+        tiny = clip_config.CLIPConfig(
+            name="vit-test",
+            vision=clip_config.VisionConfig(
+                kind="vit", image_size=32, embed_dim=D, width=64, layers=2,
+                heads=4, patch_size=16),
+            text=clip_config.TextConfig(
+                vocab_size=100, context_length=CTX, width=32, heads=4,
+                layers=2, embed_dim=D),
+        )
+        model = composed.ComposedCIRModel(tiny, patch_num=13)
+        rng = jax.random.PRNGKey(0)
+        v = tiny.vision
+        variables = model.init(
+            {"params": rng, "dropout": rng},
+            np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+            np.zeros((2, v.image_size, v.image_size, 3), np.float32),
+            np.zeros((2, CTX), np.int32),
+            np.zeros((2, 13, D), np.float32),
+            np.zeros((2, 13, D), np.float32),
+            deterministic=False, method=model.train_forward,
+        )
+        api = E.InferenceAPI(model, variables, batch_size=8,
+                             context_length=CTX, tokenizer=fake_tokenizer)
+        g = np.random.default_rng(5)
+        items = [
+            {"name": f"img{i}",
+             "image": g.random((32, 32, 3), dtype=np.float32),
+             "patch": g.standard_normal((13, D)).astype(np.float32)}
+            for i in range(8)
+        ]
+        svc = RetrievalService(api, Loader(items, 8, num_workers=0),
+                               capacity=12, warmup=False)
+        ns = SF.serve_native(svc, port=0)
+        url = f"http://127.0.0.1:{ns.port}"
+        try:
+            code, _ = _post_err(f"{url}/query", {
+                "ref_name": "fresh", "caption": "x", "k": 1})
+            assert code == 404
+            svc.add_items(
+                ["fresh"], g.random((1, 32, 32, 3), dtype=np.float32),
+                g.standard_normal((1, 13, D)).astype(np.float32))
+            out = _post(f"{url}/query",
+                        {"ref_name": "fresh", "caption": "make it red",
+                         "k": 3})
+            assert len(out["results"]) == 3
+            h = _get(f"{url}/healthz")
+            assert h["gallery_size"] == 9
+        finally:
+            ns.shutdown()
+
+    def test_sequential_singles_reuse_daemon(self, tiny_service):
+        ns = SF.serve_native(tiny_service, port=0)
+        url = f"http://127.0.0.1:{ns.port}"
+        try:
+            t0 = time.time()
+            for i in range(5):
+                out = _post(f"{url}/query",
+                            {"ref_name": f"img{i}", "caption": "x", "k": 1})
+                assert len(out["results"]) == 1
+            assert time.time() - t0 < 60
+            s = _get(f"{url}/stats")
+            assert s["requests"] >= 5
+        finally:
+            ns.shutdown()
