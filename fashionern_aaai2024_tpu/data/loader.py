@@ -107,12 +107,24 @@ class Loader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[dict]:
+        return self.iter_batches(0)
+
+    def iter_batches(self, start_batch: int = 0) -> Iterator[dict]:
+        """Iterate this epoch's batches starting at `start_batch`.
+
+        The skipped prefix is dropped at the INDEX level — no decode, no
+        worker submission — which makes mid-epoch resume O(1): the
+        trainer reconstructs (epoch, step-within-epoch) from the saved
+        global step and re-enters the epoch's deterministic order
+        (`_indices` is a pure function of seed+epoch) at the right batch.
+        """
         idx = self._indices()
         batches = [
             idx[i : i + self.batch_size] for i in range(0, len(idx), self.batch_size)
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        batches = batches[start_batch:]
 
         if self.num_workers <= 0:
             for b in batches:

@@ -37,10 +37,23 @@ def save_state(path: str, state: CIRTrainState, *, force: bool = True) -> None:
 
 
 def restore_state(path: str, template: CIRTrainState) -> CIRTrainState:
-    """Restore into the shapes/shardings of `template` (a freshly created
-    state on the current mesh)."""
+    """Restore into the tree structure of `template`, TOPOLOGY-FREE.
+
+    Every leaf is restored as host numpy, never with the sharding the
+    checkpoint was saved under: left to its default, Orbax re-applies
+    the SAVING mesh's sharding from the checkpoint metadata, and a state
+    saved on an 8-device mesh then refuses to join a 4-device step
+    ("incompatible devices", pinned by tests/test_topology.py). Host
+    arrays are the portable form — the train step's jit places (and the
+    shard_map replicates) them on whatever mesh the resumed run uses,
+    matching the torch reference's topology-free `state_dict` load
+    (`run/test/test_fiq.py:142-149`)."""
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
+    )
     return _checkpointer().restore(
-        os.path.abspath(path), args=ocp.args.PyTreeRestore(template)
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(template, restore_args=restore_args),
     )
 
 

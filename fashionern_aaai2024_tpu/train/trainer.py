@@ -18,6 +18,7 @@ dataset's selection metric, Fashion200k skips in-training validation
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import random
 import time
@@ -75,6 +76,7 @@ class TrainConfig:
     cache_features: bool = False            # pre-encode unique images once; text stays online
     image_dtype: str = "float32"            # "uint8" = raw-pixel feed, normalize on device
     quantize_towers: bool = False           # int8 frozen-tower MLPs in the train step
+    ckpt_every_steps: int | None = None     # periodic resume checkpoint (kill-safety)
     # quantize_towers is the fallback for datasets whose image set does
     # not fit the feature cache: the full step is ~80% frozen-tower
     # forward (BASELINE.md r3 roofline), the towers sit behind
@@ -312,8 +314,13 @@ class Trainer:
         )
         self.best = BestCheckpointer(cfg.ckpt_dir, cfg.dataset)
         self.logger = MetricLogger(cfg.log_path)
-        self.caption_rng = random.Random(cfg.seed)
         self.global_step = 0
+        # steps/epoch is the fixed quantum that maps global_step back to
+        # (epoch, step-within-epoch) on resume; the max_steps clamp must
+        # be part of it or resumed runs would land in the wrong epoch
+        self.steps_per_epoch = max(1, len(self.loader))
+        if cfg.max_steps_per_epoch is not None:
+            self.steps_per_epoch = min(self.steps_per_epoch, cfg.max_steps_per_epoch)
         if tokenizer is None:
             from fashionern_aaai2024_tpu.models.clip.tokenizer import tokenize as tokenizer
         self.tokenizer = tokenizer
@@ -378,7 +385,15 @@ class Trainer:
                         cache_seconds=round(time.time() - t0, 2))
 
     def _device_batch(self, batch: dict) -> dict:
-        caps = self.plugin.caption_fn(batch, self.caption_rng)
+        # Caption randomization draws from an rng derived from
+        # (seed, global_step) rather than one run-long stream: the
+        # distribution is identical (the reference streams one
+        # `random.Random`, `utils/utils.py:102-123`) but any step's draws
+        # are reconstructible after a resume — the property that makes
+        # kill/resume produce the exact same training trajectory
+        # (tests/test_train.py resume-parity; DEVIATIONS.md).
+        caption_rng = random.Random(f"{self.cfg.seed}:{self.global_step}")
+        caps = self.plugin.caption_fn(batch, caption_rng)
         arrays = {
             "text_ids": self.tokenizer(caps, self.clip_cfg.text.context_length),
             "ref_patch": np.asarray(batch["ref_patch"], np.float32),
@@ -405,7 +420,9 @@ class Trainer:
             arrays["tar_image"] = np.asarray(batch["tar_image"], self._image_dtype)
         return meshlib.shard_batch(self.mesh, arrays)
 
-    def train_one_epoch(self, epoch: int) -> float:
+    def train_one_epoch(self, epoch: int, skip_steps: int = 0) -> float:
+        """One epoch; `skip_steps` re-enters a partially-trained epoch at
+        the right batch after a resume (indices skipped, nothing decoded)."""
         cfg = self.cfg
         self.loader.set_epoch(epoch)
         if self.plugin.on_epoch:
@@ -415,8 +432,8 @@ class Trainer:
         seen = 0
         profiling = False
         pending: list = []
-        for i, batch in enumerate(self.loader):
-            if cfg.max_steps_per_epoch is not None and i >= cfg.max_steps_per_epoch:
+        for i, batch in enumerate(self.loader.iter_batches(skip_steps), start=skip_steps):
+            if i >= self.steps_per_epoch:
                 break
             # profiler trace of steady-state steps (skips the compile step)
             if cfg.profile_dir and epoch == 0:
@@ -430,6 +447,12 @@ class Trainer:
             db = self._device_batch(batch)
             self.state, loss = self.step_fn(self.state, db)
             self.global_step += 1
+            if (cfg.ckpt_every_steps
+                    and self.global_step % cfg.ckpt_every_steps == 0):
+                # periodic kill-safety checkpoint: a SIGKILLed run resumes
+                # from here and reproduces the control trajectory exactly
+                # (resume-continuation-parity, tests/test_train.py)
+                self.save_resume_checkpoint()
             n = db["text_ids"].shape[0]
             seen += n
             # keep `loss` on device — float() here would sync every step
@@ -498,16 +521,30 @@ class Trainer:
 
         self.state = restore_state(self.cfg.resume_path, self.state)
         self.global_step = int(self.state.step)
-        self.logger.log(step=self.global_step, resumed_from=self.cfg.resume_path)
+        meta_path = self.cfg.resume_path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.best.best_metric = float(json.load(f)["best_metric"])
+        self.logger.log(step=self.global_step, resumed_from=self.cfg.resume_path,
+                        best_metric=self.best.best_metric)
         return True
 
     def train(self) -> CIRTrainState:
+        """Train to `num_epochs` TOTAL epochs. After a resume the loop
+        re-enters at the exact (epoch, step-within-epoch) the checkpoint
+        was taken at — not at epoch 0 — so a killed-and-resumed run
+        follows the uninterrupted run's trajectory step for step (data
+        order from the epoch-seeded shuffle, captions from the per-step
+        rng, dropout from fold_in(rng, step), optimizer/schedule/BN from
+        the restored state)."""
         cfg = self.cfg
         self.maybe_resume()
         if cfg.cache_features and self._feature_cache is None:
             self.build_feature_cache()
-        for epoch in range(cfg.num_epochs):
-            loss = self.train_one_epoch(epoch)
+        start_epoch = self.global_step // self.steps_per_epoch
+        skip = self.global_step % self.steps_per_epoch
+        for epoch in range(start_epoch, cfg.num_epochs):
+            loss = self.train_one_epoch(epoch, skip_steps=skip if epoch == start_epoch else 0)
             self.logger.log(step=self.global_step, epoch=epoch, epoch_loss=loss)
             if self.validator is not None and epoch % cfg.validation_frequency == 0:
                 self.validate(epoch)
@@ -516,4 +553,9 @@ class Trainer:
     def save_resume_checkpoint(self, path: str | None = None) -> str:
         path = path or os.path.join(self.cfg.ckpt_dir, f"{self.cfg.dataset}-resume")
         save_state(path, self.state)
+        # best-checkpoint selection must survive the restart too, or a
+        # resumed run would re-save a WORSE model as "best"
+        meta = {"best_metric": self.best.best_metric}
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
         return path
