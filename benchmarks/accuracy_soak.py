@@ -1,0 +1,190 @@
+"""Accuracy soak (VERDICT r4 #9): train→validate→select→export→serve,
+one consistent chain on real hardware.
+
+Protocol (all through public surfaces — the CLI and the artifact API):
+  1. `fashionern make-fixture fashioniq --n-images 64 --n-triplets 128`
+     — large enough that recall@10 over the gallery is a sharp metric
+     (the default plumbing fixture saturates at 100).
+  2. `fashionern eval` with the UNTRAINED fusion init → baseline recalls.
+  3. `fashionern train` full ViT-B-16, validation every epoch selecting
+     the best checkpoint on mean(R@10,R@50) — hundreds of real steps.
+  4. `fashionern eval --fusion-model-path <best>` → trained recalls
+     (must beat the untrained baseline decisively: the soak's
+     learning-happened evidence).
+  5. `fashionern export --fusion-model-path <best>` → AOT artifact.
+  6. In-process: build the live service (same ckpt) AND load the
+     artifact; run every val relative query through BOTH; assert the
+     per-query top-k names are IDENTICAL and the combined-gallery
+     recalls are equal — train→select→export→serve returns the same
+     answers end to end.
+
+Writes a ledger JSON (--out) for BASELINE.md.
+
+Run (on-chip):
+  PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/accuracy_soak.py \
+      --epochs 15 --out /tmp/accuracy_soak.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLI = [sys.executable, "-m", "fashionern_aaai2024_tpu.cli.main"]
+
+
+def run_cli(args_list, env, tag, capture_json=False):
+    print(f"[soak] $ fashionern {' '.join(args_list)}", flush=True)
+    t0 = time.time()
+    r = subprocess.run(CLI + args_list, env=env, capture_output=True,
+                       text=True)
+    dt = time.time() - t0
+    if r.returncode != 0:
+        print(r.stdout[-2000:], r.stderr[-2000:], sep="\n---\n")
+        raise SystemExit(f"{tag} failed rc={r.returncode}")
+    print(f"[soak] {tag} done in {dt:.0f}s", flush=True)
+    if capture_json:
+        for line in reversed(r.stdout.splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line), dt
+        raise SystemExit(f"{tag}: no JSON line in output")
+    return r.stdout, dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--work", default="/tmp/accuracy_soak")
+    p.add_argument("--model", default="ViT-B-16")
+    p.add_argument("--n-images", type=int, default=64)
+    p.add_argument("--n-triplets", type=int, default=128)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--out", default="/tmp/accuracy_soak.json")
+    args = p.parse_args()
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    root = os.path.join(args.work, "fixture")
+    ck = os.path.join(args.work, "ckpt")
+    art = os.path.join(args.work, "artifact")
+    os.makedirs(args.work, exist_ok=True)
+    bpe = os.path.join(root, "bpe.txt.gz")
+    common = ["--dataset", "fashioniq", "--data-root", root,
+              "--clip-model-name", args.model, "--bpe-path", bpe,
+              "--num-workers", "0"]
+
+    # 1. fixture
+    run_cli(["make-fixture", "--dataset", "fashioniq", "--out", root,
+             "--n-images", str(args.n_images),
+             "--n-triplets", str(args.n_triplets)], env, "fixture")
+
+    # 2. untrained baseline eval
+    base_recalls, _ = run_cli(
+        ["eval", *common, "--batch-size", "32", "--split", "val", "--json"],
+        env, "baseline eval", capture_json=True)
+    print("[soak] untrained:", json.dumps(base_recalls), flush=True)
+
+    # 3. train with per-epoch validation + best-ckpt selection
+    log_path = os.path.join(args.work, "train.jsonl")
+    _, train_s = run_cli(
+        ["train", *common, "--batch-size", str(args.batch),
+         "--num-epochs", str(args.epochs), "--validation-frequency", "1",
+         "--validation-bs", "32", "--image-dtype", "uint8",
+         "--ckpt-dir", ck, "--print-frequency", "5",
+         "--log-path", log_path, "--seed", "7"], env, "train")
+    best_path = os.path.join(ck, "fashioniq-best")
+    recs = [json.loads(l) for l in open(log_path)]
+    steps = max(r.get("step", 0) for r in recs)
+    val_curve = [(r["step"], r["val_metric"]) for r in recs if "val_metric" in r]
+    best_metric = max(m for _, m in val_curve)
+    print(f"[soak] {steps} steps, val curve: {val_curve}", flush=True)
+
+    # 4. trained eval through the CLI with the selected checkpoint
+    trained_recalls, _ = run_cli(
+        ["eval", *common, "--batch-size", "32", "--split", "val",
+         "--fusion-model-path", best_path, "--json"],
+        env, "trained eval", capture_json=True)
+    print("[soak] trained:", json.dumps(trained_recalls), flush=True)
+
+    # 5. export the artifact from the same checkpoint
+    run_cli(["export", *common, "--batch-size", "32", "--split", "val",
+             "--fusion-model-path", best_path, "--out", art],
+            env, "export")
+
+    # 6. live service vs artifact: identical answers, equal recalls
+    os.environ["FASHIONERN_BPE_PATH"] = bpe
+    sys.path.insert(0, REPO)
+    from fashionern_aaai2024_tpu.cli.main import build_parser, build_service
+    from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
+    from fashionern_aaai2024_tpu.retrieval.artifact import load_serve_artifact
+    from fashionern_aaai2024_tpu.data.captions import join_fiq_captions
+
+    sargs = build_parser().parse_args(
+        ["serve", *common, "--batch-size", "32", "--split", "val",
+         "--fusion-model-path", best_path])
+    service = build_service(sargs)
+    artifact = load_serve_artifact(art)
+    assert artifact.names == service.gallery.names, \
+        "artifact gallery order != live service gallery order"
+
+    rel = FashionIQDataset(root, "val", ["dress", "shirt", "toptee"],
+                           mode="relative", dim=224)
+    queries = [(it["ref_name"], it["captions"], it["tar_name"])
+               for it in (rel[i] for i in range(len(rel)))]
+    k = 10
+    hits_live = hits_art = 0
+    mismatched = 0
+    for ref, caps, tar in queries:
+        # the FIQ dual-caption join the eval protocol uses
+        cap = join_fiq_captions(caps[0], caps[1])
+        live = service.query([ref], [cap], k=k)[0]
+        live_names = [n for n, _ in live]
+        ids = service.api.tokenize([cap])
+        row = np.asarray([artifact.row_for(ref)], np.int32)
+        _, idx = artifact.query(ids, row, k=k)
+        art_names = [artifact.names[j] for j in idx[0]]
+        if live_names != art_names:
+            mismatched += 1
+            print(f"[soak] MISMATCH ref={ref}: live={live_names[:3]} "
+                  f"art={art_names[:3]}", flush=True)
+        hits_live += tar in live_names
+        hits_art += tar in art_names
+    r_live = 100.0 * hits_live / len(queries)
+    r_art = 100.0 * hits_art / len(queries)
+
+    summary = {
+        "model": args.model,
+        "fixture": {"n_images_per_type": args.n_images,
+                    "n_triplets_per_type_split": args.n_triplets},
+        "train": {"steps": steps, "epochs": args.epochs,
+                  "batch": args.batch, "wall_s": round(train_s, 1),
+                  "val_curve": val_curve, "best_metric": best_metric},
+        "untrained_eval": base_recalls,
+        "trained_eval": trained_recalls,
+        "combined_gallery_recall_at10": {"live_service": r_live,
+                                         "artifact": r_art},
+        "queries": len(queries),
+        "live_vs_artifact_topk_mismatches": mismatched,
+    }
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+    assert mismatched == 0, "artifact answers diverge from live service"
+    assert r_live == r_art
+    assert trained_recalls["avg"] > base_recalls["avg"], \
+        "training did not improve the selection metric over random init"
+    print(f"[soak] OK: {steps} steps, eval avg {base_recalls['avg']:.1f} → "
+          f"{trained_recalls['avg']:.1f}, artifact == live on "
+          f"{len(queries)} queries (R@10 {r_art:.1f})")
+
+
+if __name__ == "__main__":
+    main()

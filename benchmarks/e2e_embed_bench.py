@@ -92,12 +92,19 @@ def main():
 
             first = next(iter(loader))
             np.asarray(encode(_pad_rows(first["image"], batch))[0][:1])
-            t0 = time.perf_counter()
-            feats = embed_gallery(encode, loader, batch)
-            dt = time.perf_counter() - t0
-            label = "uint8" if as_u8 else "f32  "
-            print(f"{label} feed: {n / dt:7.1f} img/s end-to-end "
-                  f"({dt:.1f} s for {n}; feats {feats.features.shape})")
+            rows = {}
+            for depth in (0, 2):  # serial feed vs device prefetch A/B
+                t0 = time.perf_counter()
+                feats = embed_gallery(encode, loader, batch, prefetch=depth)
+                dt = time.perf_counter() - t0
+                rows[depth] = n / dt
+                label = "uint8" if as_u8 else "f32  "
+                mode = f"prefetch={depth}"
+                print(f"{label} feed {mode}: {n / dt:7.1f} img/s "
+                      f"end-to-end ({dt:.1f} s for {n}; "
+                      f"feats {feats.features.shape})", flush=True)
+            print(f"  overlap win: {rows[2] / rows[0]:.2f}x "
+                  f"(ceiling = min(decode, H2D, compute) once overlapped)")
 
 
 if __name__ == "__main__":

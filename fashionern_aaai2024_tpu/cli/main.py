@@ -85,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "tower forward; towers are stop_gradient'd so the "
                         "inference int8 path is legal; ~1%% tower-feature "
                         "numerics change, same trade as eval)")
+    t.add_argument("--prefetch", default=2, type=int,
+                   help="host→device prefetch depth: decode+tokenize+H2D "
+                        "run a background thread this many batches ahead "
+                        "of the step (0 = serial feed; numerics identical "
+                        "either way — batches are keyed by step id)")
 
     e = sub.add_parser("eval", help="run a retrieval benchmark")
     _add_common(e)
@@ -264,6 +269,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="patch feature dim (512 ViT-B-16 / 640 RN50x4)")
     mf.add_argument("--patch-num", default=13, type=int)
     mf.add_argument("--seed", default=0, type=int)
+    mf.add_argument("--n-images", default=None, type=int,
+                    help="per-type image universe size (default: tiny "
+                         "plumbing fixture; accuracy soak uses larger)")
+    mf.add_argument("--n-triplets", default=None, type=int,
+                    help="per-type per-split triplet count")
 
     fb = sub.add_parser("fetch-bpe",
                         help="download + hash-verify the CLIP BPE merges table "
@@ -679,6 +689,7 @@ def run_train(args) -> None:
         cache_features=getattr(args, "cache_features", False),
         quantize_towers=getattr(args, "quantize_towers", False),
         image_dtype=getattr(args, "image_dtype", "float32"),
+        prefetch_batches=getattr(args, "prefetch", 2),
     )
     trainer = Trainer(cfg)
     if args.clip_model_path:
@@ -823,7 +834,9 @@ def main(argv=None) -> int:
         from fashionern_aaai2024_tpu.tools.make_fixture import make_fixture
 
         root = make_fixture(args.out, args.dataset, dim=args.dim,
-                            patch_num=args.patch_num, seed=args.seed)
+                            patch_num=args.patch_num, seed=args.seed,
+                            n_images=args.n_images,
+                            n_triplets=args.n_triplets)
         print(f"fixture written to {root} (bpe table: {root}/bpe.txt.gz)")
         return 0
     if args.command == "fetch-bpe":

@@ -76,18 +76,34 @@ def embed_gallery(
     loader,
     batch_size: int,
     keep_tokens: bool = False,
+    prefetch: int = 2,
 ) -> GalleryFeatures:
     """Gallery pass (reference `extract_index_features`). `loader` yields
     classic-mode batches with "name", "image" and optionally "patch".
 
-    Device work is dispatched one batch ahead of the host readback
-    (JAX dispatch is async; `np.asarray` is the sync point), so host
-    image decode and D2H transfers overlap TPU compute."""
+    Three-deep pipeline (BASELINE.md r4 overlap ledger):
+      1. a background thread decodes the NEXT batches and `device_put`s
+         them `prefetch` ahead (`data.prefetch.prefetch_iter`) — host
+         decode and H2D transfer overlap device compute;
+      2. the main thread dispatches the jitted encode on the committed
+         device array (dispatch carries no transfer);
+      3. readback runs one batch behind dispatch (JAX dispatch is
+         async; `np.asarray` is the sync point).
+    Throughput ceiling becomes min(decode, H2D, compute) instead of
+    their sum. `encode_image_fn` may expose a `.place` attribute
+    (pad + mesh-sharded `device_put`, see `InferenceAPI._place`) used
+    by the prefetch stage; otherwise the default places on the jit
+    default device. `prefetch=0` restores the serial feed."""
+    from fashionern_aaai2024_tpu.data.prefetch import prefetch_iter
+
     names: list[str] = []
     feats: list[np.ndarray] = []
     tokens: list[np.ndarray] = []
     locals_: list[np.ndarray] = []
     pending: tuple | None = None  # (g_dev, tok_dev, n)
+
+    place = getattr(encode_image_fn, "place", None) or (
+        lambda a: jax.device_put(_pad_rows(a, batch_size)))
 
     def drain(entry):
         g, tok, n = entry
@@ -95,10 +111,12 @@ def embed_gallery(
         if keep_tokens:
             tokens.append(np.asarray(tok[:n]))
 
-    for batch in loader:
+    def stage(_, batch):
         img = batch["image"]
-        n = img.shape[0]
-        g, tok = encode_image_fn(_pad_rows(img, batch_size))
+        return batch, place(img), img.shape[0]
+
+    for batch, img_dev, n in prefetch_iter(loader, stage, depth=prefetch):
+        g, tok = encode_image_fn(img_dev)
         names.extend(batch["name"])
         if "patch" in batch:
             locals_.append(np.asarray(batch["patch"]))

@@ -155,9 +155,14 @@ class InferenceAPI:
     def _index(self, tf, tl):
         return self._index_v(self.variables, tf, tl)
 
-    def _place(self, arr: np.ndarray):
+    def _place(self, arr):
         """Pad to the fixed batch and (if a mesh is set) shard the batch
-        axis over `data` so the jitted fn runs on all chips."""
+        axis over `data` so the jitted fn runs on all chips. Idempotent:
+        an already-padded committed jax.Array (placed ahead of time by
+        `embed_gallery`'s prefetch stage) passes straight through —
+        `np.asarray` on it would be a D2H round-trip."""
+        if isinstance(arr, jax.Array) and arr.shape[0] == self.batch_size:
+            return arr
         arr = _pad_rows(np.asarray(arr), self.batch_size)
         if self.mesh is None:
             return arr
@@ -691,8 +696,11 @@ class InferenceAPI:
     def gallery_encode_fn(self) -> Callable:
         """encode_image closure for `engine.embed_gallery` — padded and
         mesh-sharded placement, device outputs (readback pipelined by
-        the engine)."""
-        return lambda imgs: self._encode_image(self._place(imgs))
+        the engine). Exposes `.place` so the engine's prefetch thread
+        can pad + transfer batches ahead of dispatch."""
+        fn = lambda imgs: self._encode_image(self._place(imgs))  # noqa: E731
+        fn.place = self._place
+        return fn
 
 
 def last_wins_rows(names: Sequence[str]) -> dict[str, int]:

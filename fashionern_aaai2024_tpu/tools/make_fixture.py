@@ -254,7 +254,25 @@ MAKERS = {
 
 
 def make_fixture(root: str, dataset: str, dim: int = 512,
-                 patch_num: int = 13, seed: int = 0) -> str:
+                 patch_num: int = 13, seed: int = 0,
+                 n_images: int | None = None,
+                 n_triplets: int | None = None) -> str:
+    """`n_images`/`n_triplets` scale the per-type universe (fashioniq /
+    cirr / shoes makers): the defaults make a seconds-fast plumbing
+    fixture; the accuracy soak (benchmarks/accuracy_soak.py) uses a
+    larger one so recall@K over the gallery is a sharp metric rather
+    than a saturating one."""
     os.makedirs(root, exist_ok=True)
-    MAKERS[dataset](root, dim=dim, patch_num=patch_num, seed=seed)
+    kw = dict(dim=dim, patch_num=patch_num, seed=seed)
+    if n_images is not None:
+        kw["n_images"] = n_images
+    if n_triplets is not None:
+        kw["n_triplets"] = n_triplets
+    try:
+        MAKERS[dataset](root, **kw)
+    except TypeError:
+        # fashion200k sizes by n_per_color, not n_images/n_triplets
+        kw.pop("n_images", None)
+        kw.pop("n_triplets", None)
+        MAKERS[dataset](root, **kw)
     return root

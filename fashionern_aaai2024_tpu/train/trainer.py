@@ -77,6 +77,7 @@ class TrainConfig:
     image_dtype: str = "float32"            # "uint8" = raw-pixel feed, normalize on device
     quantize_towers: bool = False           # int8 frozen-tower MLPs in the train step
     ckpt_every_steps: int | None = None     # periodic resume checkpoint (kill-safety)
+    prefetch_batches: int = 2               # host→device prefetch depth (0 = serial feed)
     # quantize_towers is the fallback for datasets whose image set does
     # not fit the feature cache: the full step is ~80% frozen-tower
     # forward (BASELINE.md r3 roofline), the towers sit behind
@@ -384,15 +385,20 @@ class Trainer:
         self.logger.log(step=self.global_step, cached_images=len(cache),
                         cache_seconds=round(time.time() - t0, 2))
 
-    def _device_batch(self, batch: dict) -> dict:
+    def _device_batch(self, batch: dict, step: int | None = None) -> dict:
         # Caption randomization draws from an rng derived from
-        # (seed, global_step) rather than one run-long stream: the
+        # (seed, step) rather than one run-long stream: the
         # distribution is identical (the reference streams one
         # `random.Random`, `utils/utils.py:102-123`) but any step's draws
         # are reconstructible after a resume — the property that makes
         # kill/resume produce the exact same training trajectory
-        # (tests/test_train.py resume-parity; DEVIATIONS.md).
-        caption_rng = random.Random(f"{self.cfg.seed}:{self.global_step}")
+        # (tests/test_train.py resume-parity; DEVIATIONS.md). `step` is
+        # passed explicitly by the prefetch pipeline (which prepares
+        # batches ahead of `global_step`); prefetch therefore never
+        # changes WHAT is computed, only when.
+        if step is None:
+            step = self.global_step
+        caption_rng = random.Random(f"{self.cfg.seed}:{step}")
         caps = self.plugin.caption_fn(batch, caption_rng)
         arrays = {
             "text_ids": self.tokenizer(caps, self.clip_cfg.text.context_length),
@@ -432,7 +438,21 @@ class Trainer:
         seen = 0
         profiling = False
         pending: list = []
-        for i, batch in enumerate(self.loader.iter_batches(skip_steps), start=skip_steps):
+        # host→device prefetch: decode + tokenize + H2D run on a
+        # background thread up to `prefetch_batches` ahead of the step
+        # dispatch, overlapping with device compute (data/prefetch.py).
+        # Each prepared batch is keyed by ITS step id, so caption draws
+        # are identical with prefetch on, off, or after a resume.
+        from fashionern_aaai2024_tpu.data.prefetch import prefetch_iter
+
+        base_step = self.global_step
+
+        def prepare(j, batch):
+            return batch, self._device_batch(batch, step=base_step + j)
+
+        feed = prefetch_iter(self.loader.iter_batches(skip_steps), prepare,
+                             depth=self.cfg.prefetch_batches)
+        for i, (batch, db) in enumerate(feed, start=skip_steps):
             if i >= self.steps_per_epoch:
                 break
             # profiler trace of steady-state steps (skips the compile step)
@@ -444,7 +464,6 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                     self.logger.log(step=self.global_step, profile_trace=cfg.profile_dir)
-            db = self._device_batch(batch)
             self.state, loss = self.step_fn(self.state, db)
             self.global_step += 1
             if (cfg.ckpt_every_steps
