@@ -23,6 +23,7 @@ Run (on-chip):
 
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -32,7 +33,9 @@ import numpy as np
 from fashionern_aaai2024_tpu.models.clip.config import get_clip_config
 from fashionern_aaai2024_tpu.models.composed import ComposedCIRModel
 
-B = 128
+# overridable for cheap CPU smoke runs; the audited numbers use defaults
+B = int(os.environ.get("BUDGET_B", "128"))
+ITERS = int(os.environ.get("BUDGET_ITERS", "20"))
 PEAK_TFS = 197.0  # v5e bf16
 
 
@@ -40,7 +43,7 @@ def sync(x):
     return np.asarray(jax.tree_util.tree_leaves(x)[0][..., :1])
 
 
-def timeit(fn, *args, iters=20, windows=3, per_call_sync=False):
+def timeit(fn, *args, iters=ITERS, windows=3, per_call_sync=False):
     sync(fn(*args))
     sync(fn(*args))
     best = float("inf")
@@ -62,7 +65,7 @@ def vit_flops(cfg):
     S, W, L = grid * grid + 1, v.width, v.layers
     patch = 2 * (grid * grid) * W * (v.patch_size ** 2 * 3)
     trunk = L * (2 * S * W * W * (3 + 1 + 8) + 4 * S * S * W)
-    head = 2 * S * W * cfg.embed_dim
+    head = 2 * S * W * cfg.feature_dim
     return patch, trunk, head
 
 
@@ -157,7 +160,7 @@ def audit(model_name):
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
             tvars)
         trunk_fn = jax.jit(lambda vv, x: tk.apply(vv, x))
-        proj = jnp.asarray(g.standard_normal((W, cfg.embed_dim)) * 0.02,
+        proj = jnp.asarray(g.standard_normal((W, cfg.feature_dim)) * 0.02,
                            jnp.bfloat16)
         gam = jnp.ones((W,), jnp.bfloat16)
 

@@ -81,6 +81,27 @@ def run_one(args) -> dict:
     try:
         t_compile = time.perf_counter()
         batch = make_batch(jax.random.PRNGKey(1))
+        # AOT lower+compile so XLA's static memory analysis is readable:
+        # device memory_stats() is unavailable through the axon tunnel,
+        # but the compiler's HBM budget (arguments + outputs + temps) is
+        # the fit answer VERDICT r3 #1 asks for.
+        compiled = step.lower(state, batch).compile()
+        try:
+            ma = compiled.memory_analysis()
+            out["hbm_compiler_gib"] = {
+                "arguments": round(ma.argument_size_in_bytes / 2**30, 2),
+                "outputs": round(ma.output_size_in_bytes / 2**30, 2),
+                "temps": round(ma.temp_size_in_bytes / 2**30, 2),
+                "aliased": round(ma.alias_size_in_bytes / 2**30, 2),
+                # live peak ≈ args + outputs + temps − donated aliases
+                "peak_est": round(
+                    (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                     + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+                    / 2**30, 2),
+            }
+        except Exception as e:  # noqa: BLE001 — analysis is best-effort
+            out["hbm_compiler_gib"] = f"unavailable: {e}"
+        step = compiled  # reuse the AOT executable for the loop
         state, loss = step(state, batch)
         float(loss)  # sync through the compile step
         out["compile_s"] = round(time.perf_counter() - t_compile, 1)
