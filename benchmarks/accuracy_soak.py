@@ -39,16 +39,32 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CLI = [sys.executable, "-m", "fashionern_aaai2024_tpu.cli.main"]
 
+# The CLI enables its own persistent compile cache; export the env form
+# too so the in-process step-6 jits share it, and so a leg retried after
+# a transient tunnel flake skips its compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/fashionern/jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
-def run_cli(args_list, env, tag, capture_json=False):
+
+def run_cli(args_list, env, tag, capture_json=False, attempts=3, clean=()):
     print(f"[soak] $ fashionern {' '.join(args_list)}", flush=True)
     t0 = time.time()
-    r = subprocess.run(CLI + args_list, env=env, capture_output=True,
-                       text=True)
-    dt = time.time() - t0
-    if r.returncode != 0:
+    for i in range(attempts):
+        for path in clean:  # append-mode logs must not survive a retry
+            if os.path.exists(path):
+                os.remove(path)
+        r = subprocess.run(CLI + args_list, env=env, capture_output=True,
+                           text=True)
+        if r.returncode == 0:
+            break
+        transient = "remote_compile" in r.stderr or "INTERNAL" in r.stderr
         print(r.stdout[-2000:], r.stderr[-2000:], sep="\n---\n")
-        raise SystemExit(f"{tag} failed rc={r.returncode}")
+        if not (transient and i + 1 < attempts):
+            raise SystemExit(f"{tag} failed rc={r.returncode}")
+        print(f"[soak] {tag}: transient tunnel flake, retry "
+              f"{i + 2}/{attempts}", flush=True)
+    dt = time.time() - t0
     print(f"[soak] {tag} done in {dt:.0f}s", flush=True)
     if capture_json:
         for line in reversed(r.stdout.splitlines()):
@@ -99,7 +115,8 @@ def main():
          "--num-epochs", str(args.epochs), "--validation-frequency", "1",
          "--validation-bs", "32", "--image-dtype", "uint8",
          "--ckpt-dir", ck, "--print-frequency", "5",
-         "--log-path", log_path, "--seed", "7"], env, "train")
+         "--log-path", log_path, "--seed", "7"], env, "train",
+        clean=(log_path,))
     best_path = os.path.join(ck, "fashioniq-best")
     recs = [json.loads(l) for l in open(log_path)]
     steps = max(r.get("step", 0) for r in recs)

@@ -26,6 +26,10 @@ from __future__ import annotations
 import os
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/fashionern/jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -31,6 +31,12 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compile cache: rung reruns (and flake retries) skip the
+# multi-minute RN50x4@288 compile. Env vars so subprocess rungs inherit.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/fashionern/jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 
 def run_one(args) -> dict:
     import jax

@@ -39,6 +39,13 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Persistent XLA compile cache (works through the axon backend): a leg
+# retried after a transient tunnel flake skips its multi-minute compile.
+# Env vars so subprocess legs inherit it before they import jax.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/fashionern/jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 
 class SyntheticFIQ:
     """FashionIQ-shaped triplets at recipe image size. Items are
@@ -261,19 +268,41 @@ def main():
     # survivor is the last multiple of ckpt_every STRICTLY before kill_at
     resume_start = ((kill_at - 1) // args.ckpt_every) * args.ckpt_every + 1
 
+    def run_retrying(cmd, log, ckpt_dir, expect_rc=0, attempts=3,
+                     wipe_ckpt=True):
+        """The axon tunnel occasionally drops a remote_compile response
+        (INTERNAL: response body closed mid-read). Legs are deterministic
+        and the persistent compile cache makes a rerun cheap, so retry a
+        flaked leg from scratch (fresh log + ckpt dir)."""
+        import shutil
+
+        for i in range(attempts):
+            if os.path.exists(log):
+                os.remove(log)
+            if wipe_ckpt and os.path.isdir(ckpt_dir):
+                shutil.rmtree(ckpt_dir)
+            rc = subprocess.run(cmd, env=env).returncode
+            if rc == expect_rc:
+                return
+            print(f"[soak] leg rc={rc} (want {expect_rc}), "
+                  f"attempt {i + 1}/{attempts}", flush=True)
+        raise SystemExit(f"leg failed after {attempts} attempts (rc={rc})")
+
     print(f"[soak] control: {args.steps} steps", flush=True)
-    subprocess.run(base + ["control", "--ckpt-dir", "/tmp/soak_ckpt_ctl",
-                           "--log", ctl_log] + common, env=env, check=True)
+    run_retrying(base + ["control", "--ckpt-dir", "/tmp/soak_ckpt_ctl",
+                         "--log", ctl_log] + common,
+                 ctl_log, "/tmp/soak_ckpt_ctl")
     print(f"[soak] kill leg: dies at step {kill_at}", flush=True)
-    rc = subprocess.run(base + ["kill", "--kill-at", str(kill_at),
-                                "--ckpt-dir", "/tmp/soak_ckpt_kill",
-                                "--log", kill_log] + common, env=env).returncode
-    assert rc == 37, f"kill leg exited {rc}, expected 37"
+    run_retrying(base + ["kill", "--kill-at", str(kill_at),
+                         "--ckpt-dir", "/tmp/soak_ckpt_kill",
+                         "--log", kill_log] + common,
+                 kill_log, "/tmp/soak_ckpt_kill", expect_rc=37)
     print(f"[soak] resume from step {resume_start - 1} ckpt", flush=True)
-    subprocess.run(base + ["resume",
-                           "--resume-from", "/tmp/soak_ckpt_kill/fashioniq-resume",
-                           "--ckpt-dir", "/tmp/soak_ckpt_kill",
-                           "--log", res_log] + common, env=env, check=True)
+    run_retrying(base + ["resume",
+                         "--resume-from", "/tmp/soak_ckpt_kill/fashioniq-resume",
+                         "--ckpt-dir", "/tmp/soak_ckpt_kill",
+                         "--log", res_log] + common,
+                 res_log, "/tmp/soak_ckpt_kill", wipe_ckpt=False)
 
     v = verify(ctl_log, res_log, resume_start)
     ctl = [json.loads(l) for l in open(ctl_log)]
