@@ -112,9 +112,10 @@ def main():
     table = {}
     for name, gal in dists.items():
         # distribution hardness diagnostic: cosine spread of the gallery
-        sample = gal[g.choice(gal.shape[0], 512, replace=False)]
+        ns = min(512, gal.shape[0])
+        sample = gal[g.choice(gal.shape[0], ns, replace=False)]
         cos = sample @ sample.T
-        off = cos[~np.eye(512, dtype=bool)]
+        off = cos[~np.eye(ns, dtype=bool)]
         row = {"cos_mean": round(float(off.mean()), 4),
                "cos_p99": round(float(np.quantile(off, 0.99)), 4)}
         for t in targets:
