@@ -29,11 +29,42 @@ def _checkpointer() -> ocp.Checkpointer:
     return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
 
 
-def save_state(path: str, state: CIRTrainState, *, force: bool = True) -> None:
-    """Write the full train state (resume point) to `path`."""
-    _checkpointer().save(
-        os.path.abspath(path), args=ocp.args.PyTreeSave(state), force=force
-    )
+def _split_state(state: CIRTrainState) -> tuple[dict, dict]:
+    """(mutable, frozen) partition of the train state. The frozen CLIP
+    towers (params + their never-mutating BN stats, train/state.py) are
+    ~18% of the RN50x4 resume state; a periodic checkpoint only needs to
+    rewrite what training changes."""
+    bs = dict(state.batch_stats or {})
+    frozen = {"clip_params": state.clip_params,
+              "clip_batch_stats": bs.pop("clip", {})}
+    mutable = {"step": state.step, "ern_params": state.ern_params,
+               "batch_stats": bs, "opt_state": state.opt_state,
+               "dropout_rng": state.dropout_rng}
+    return mutable, frozen
+
+
+def save_state(path: str, state: CIRTrainState, *, force: bool = True,
+               frozen: str = "auto") -> None:
+    """Write the train state (resume point) to `path`.
+
+    frozen="auto" (default) uses the SPLIT layout: the mutable subtree
+    (trainable params, opt state, ERN BN stats, step, rng) is written to
+    `path` on every call, while the frozen CLIP subtree goes to
+    `path + ".frozen"` only once — it cannot change within a run, so a
+    periodic save skips re-serializing it (recipe-scale RN50x4: 340 MiB
+    of 1865 MiB per save, and this host's device→host path is the save
+    bottleneck). frozen="full" writes the legacy single-tree layout.
+    `restore_state` reads both transparently."""
+    path = os.path.abspath(path)
+    if frozen == "full":
+        _checkpointer().save(path, args=ocp.args.PyTreeSave(state),
+                             force=force)
+        return
+    mutable, fr = _split_state(state)
+    fpath = path + ".frozen"
+    if not os.path.isdir(fpath):
+        _checkpointer().save(fpath, args=ocp.args.PyTreeSave(fr), force=force)
+    _checkpointer().save(path, args=ocp.args.PyTreeSave(mutable), force=force)
 
 
 def restore_state(path: str, template: CIRTrainState) -> CIRTrainState:
@@ -47,13 +78,33 @@ def restore_state(path: str, template: CIRTrainState) -> CIRTrainState:
     arrays are the portable form — the train step's jit places (and the
     shard_map replicates) them on whatever mesh the resumed run uses,
     matching the torch reference's topology-free `state_dict` load
-    (`run/test/test_fiq.py:142-149`)."""
-    restore_args = jax.tree_util.tree_map(
-        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), template
-    )
-    return _checkpointer().restore(
-        os.path.abspath(path),
-        args=ocp.args.PyTreeRestore(template, restore_args=restore_args),
+    (`run/test/test_fiq.py:142-149`).
+
+    Reads both layouts: the split layout (`path` mutable +
+    `path + ".frozen"` CLIP subtree) and the legacy single tree."""
+
+    def _restore(p, tmpl):
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tmpl
+        )
+        return _checkpointer().restore(
+            os.path.abspath(p),
+            args=ocp.args.PyTreeRestore(tmpl, restore_args=restore_args),
+        )
+
+    fpath = os.path.abspath(path) + ".frozen"
+    if not os.path.isdir(fpath):  # legacy single-tree checkpoint
+        return _restore(path, template)
+    m_tmpl, f_tmpl = _split_state(template)
+    mutable = _restore(path, m_tmpl)
+    fr = _restore(fpath, f_tmpl)
+    bs = dict(mutable["batch_stats"] or {})
+    if fr["clip_batch_stats"]:
+        bs["clip"] = fr["clip_batch_stats"]
+    return template.replace(
+        step=mutable["step"], ern_params=mutable["ern_params"],
+        clip_params=fr["clip_params"], batch_stats=bs,
+        opt_state=mutable["opt_state"], dropout_rng=mutable["dropout_rng"],
     )
 
 

@@ -202,6 +202,54 @@ class TestCheckpoint:
         ):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_split_layout_writes_frozen_once(self, tmp_path, rng):
+        """Default saves use the split layout: the frozen CLIP subtree
+        lands in <path>.frozen exactly once; a second periodic save
+        rewrites only the mutable part; restore merges both and every
+        leaf (incl. frozen towers + opt state) round-trips bitwise."""
+        import os
+
+        model = tiny_model()
+        batch = tiny_batch(np.random.default_rng(0), b=4)
+        variables = init_variables(model, batch)
+        opt = optax.adam(1e-3)
+        state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        step = build_train_step(model, opt, donate=False)
+        state, _ = step(state, batch)
+        path = str(tmp_path / "ckpt")
+        save_state(path, state)
+        fpath = path + ".frozen"
+        assert os.path.isdir(fpath)
+        frozen_mtime = os.path.getmtime(fpath)
+        state2, _ = step(state, batch)
+        save_state(path, state2)  # periodic overwrite
+        assert os.path.getmtime(fpath) == frozen_mtime  # written once
+        template = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        restored = restore_state(path, template)
+        assert int(restored.step) == 2
+        for a, b in zip(jax.tree_util.tree_leaves(state2),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_legacy_full_layout_still_restores(self, tmp_path, rng):
+        """Checkpoints written before the split layout (or with
+        frozen="full") restore unchanged."""
+        model = tiny_model()
+        batch = tiny_batch(np.random.default_rng(0), b=4)
+        variables = init_variables(model, batch)
+        opt = optax.adam(1e-3)
+        state = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        path = str(tmp_path / "ckpt")
+        save_state(path, state, frozen="full")
+        import os
+
+        assert not os.path.isdir(path + ".frozen")
+        template = create_train_state(variables, opt, jax.random.PRNGKey(1))
+        restored = restore_state(path, template)
+        for a, b in zip(jax.tree_util.tree_leaves(state),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_best_checkpointer(self, tmp_path):
         bc = BestCheckpointer(str(tmp_path / "ckpt"), "fiq")
         params = {"w": np.ones((2, 2), np.float32)}
