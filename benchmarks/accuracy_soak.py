@@ -84,6 +84,9 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--out", default="/tmp/accuracy_soak.json")
+    p.add_argument("--resume", action="store_true",
+                   help="reuse completed stages recorded in <work>/stages.json "
+                        "(idempotent retry after a tunnel flake or script fix)")
     args = p.parse_args()
 
     env = dict(os.environ)
@@ -97,26 +100,50 @@ def main():
               "--clip-model-name", args.model, "--bpe-path", bpe,
               "--num-workers", "0"]
 
+    # completed stages are memoized in the work dir so a retried run (a
+    # tunnel flake, or a fix to the in-process leg below) skips the
+    # expensive CLI legs it has already banked
+    stage_path = os.path.join(args.work, "stages.json")
+    stages = {}
+    if args.resume and os.path.exists(stage_path):
+        with open(stage_path) as f:
+            stages = json.load(f)
+        print(f"[soak] resuming; banked stages: {sorted(stages)}", flush=True)
+
+    def bank(key, value=True):
+        stages[key] = value
+        with open(stage_path, "w") as f:
+            json.dump(stages, f)
+        return value
+
     # 1. fixture
-    run_cli(["make-fixture", "--dataset", "fashioniq", "--out", root,
-             "--n-images", str(args.n_images),
-             "--n-triplets", str(args.n_triplets)], env, "fixture")
+    if "fixture" not in stages:
+        run_cli(["make-fixture", "--dataset", "fashioniq", "--out", root,
+                 "--n-images", str(args.n_images),
+                 "--n-triplets", str(args.n_triplets)], env, "fixture")
+        bank("fixture")
 
     # 2. untrained baseline eval
-    base_recalls, _ = run_cli(
-        ["eval", *common, "--batch-size", "32", "--split", "val", "--json"],
-        env, "baseline eval", capture_json=True)
+    if "base_recalls" not in stages:
+        base_recalls, _ = run_cli(
+            ["eval", *common, "--batch-size", "32", "--split", "val",
+             "--json"], env, "baseline eval", capture_json=True)
+        bank("base_recalls", base_recalls)
+    base_recalls = stages["base_recalls"]
     print("[soak] untrained:", json.dumps(base_recalls), flush=True)
 
     # 3. train with per-epoch validation + best-ckpt selection
     log_path = os.path.join(args.work, "train.jsonl")
-    _, train_s = run_cli(
-        ["train", *common, "--batch-size", str(args.batch),
-         "--num-epochs", str(args.epochs), "--validation-frequency", "1",
-         "--validation-bs", "32", "--image-dtype", "uint8",
-         "--ckpt-dir", ck, "--print-frequency", "5",
-         "--log-path", log_path, "--seed", "7"], env, "train",
-        clean=(log_path,))
+    if "train_s" not in stages:
+        _, train_s = run_cli(
+            ["train", *common, "--batch-size", str(args.batch),
+             "--num-epochs", str(args.epochs), "--validation-frequency", "1",
+             "--validation-bs", "32", "--image-dtype", "uint8",
+             "--ckpt-dir", ck, "--print-frequency", "5",
+             "--log-path", log_path, "--seed", "7"], env, "train",
+            clean=(log_path,))
+        bank("train_s", train_s)
+    train_s = stages["train_s"]
     best_path = os.path.join(ck, "fashioniq-best")
     recs = [json.loads(l) for l in open(log_path)]
     steps = max(r.get("step", 0) for r in recs)
@@ -125,16 +152,21 @@ def main():
     print(f"[soak] {steps} steps, val curve: {val_curve}", flush=True)
 
     # 4. trained eval through the CLI with the selected checkpoint
-    trained_recalls, _ = run_cli(
-        ["eval", *common, "--batch-size", "32", "--split", "val",
-         "--fusion-model-path", best_path, "--json"],
-        env, "trained eval", capture_json=True)
+    if "trained_recalls" not in stages:
+        trained_recalls, _ = run_cli(
+            ["eval", *common, "--batch-size", "32", "--split", "val",
+             "--fusion-model-path", best_path, "--json"],
+            env, "trained eval", capture_json=True)
+        bank("trained_recalls", trained_recalls)
+    trained_recalls = stages["trained_recalls"]
     print("[soak] trained:", json.dumps(trained_recalls), flush=True)
 
     # 5. export the artifact from the same checkpoint
-    run_cli(["export", *common, "--batch-size", "32", "--split", "val",
-             "--fusion-model-path", best_path, "--out", art],
-            env, "export")
+    if "export" not in stages:
+        run_cli(["export", *common, "--batch-size", "32", "--split", "val",
+                 "--fusion-model-path", best_path, "--out", art],
+                env, "export")
+        bank("export")
 
     # 6. live service vs artifact: identical answers, equal recalls
     os.environ["FASHIONERN_BPE_PATH"] = bpe
@@ -162,8 +194,8 @@ def main():
     for ref, caps, tar in queries:
         # the FIQ dual-caption join the eval protocol uses
         cap = join_fiq_captions(caps[0], caps[1])
-        live = service.query([ref], [cap], k=k)[0]
-        live_names = [n for n, _ in live]
+        live, _lat = service.query([ref], [cap], k=k)
+        live_names = [d["name"] for d in live[0]]
         ids = service.api.tokenize([cap])
         row = np.asarray([artifact.row_for(ref)], np.int32)
         _, idx = artifact.query(ids, row, k=k)
