@@ -2,12 +2,13 @@
 one consistent chain on real hardware.
 
 Protocol (all through public surfaces — the CLI and the artifact API):
-  1. `fashionern make-fixture fashioniq --n-images 64 --n-triplets 128`
+  1. `fashionern make-fixture <dataset> --n-images 64 --n-triplets 128`
      — large enough that recall@10 over the gallery is a sharp metric
      (the default plumbing fixture saturates at 100).
   2. `fashionern eval` with the UNTRAINED fusion init → baseline recalls.
   3. `fashionern train` full ViT-B-16, validation every epoch selecting
-     the best checkpoint on mean(R@10,R@50) — hundreds of real steps.
+     the best checkpoint on the dataset's headline metric — hundreds of
+     real steps.
   4. `fashionern eval --fusion-model-path <best>` → trained recalls
      (must beat the untrained baseline decisively: the soak's
      learning-happened evidence).
@@ -17,6 +18,10 @@ Protocol (all through public surfaces — the CLI and the artifact API):
      per-query top-k names are IDENTICAL and the combined-gallery
      recalls are equal — train→select→export→serve returns the same
      answers end to end.
+
+Supports the three relative-triplet datasets (fashioniq, cirr, shoes);
+fashion200k's multi-positive pair protocol has its own eval semantics
+and is covered by the dress-rehearsal drive instead.
 
 Writes a ledger JSON (--out) for BASELINE.md.
 
@@ -75,8 +80,36 @@ def run_cli(args_list, env, tag, capture_json=False, attempts=3, clean=()):
     return r.stdout, dt
 
 
+def iter_queries(dataset: str, root: str):
+    """(ref_name, eval-protocol caption, tar_name) for every val query."""
+    if dataset == "fashioniq":
+        from fashionern_aaai2024_tpu.data.captions import join_fiq_captions
+        from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
+
+        rel = FashionIQDataset(root, "val", ["dress", "shirt", "toptee"],
+                               mode="relative", dim=224)
+        return [(it["ref_name"], join_fiq_captions(*it["captions"][:2]),
+                 it["tar_name"]) for it in (rel[i] for i in range(len(rel)))]
+    if dataset == "cirr":
+        from fashionern_aaai2024_tpu.data.cirr import CIRRDataset
+
+        rel = CIRRDataset(root, "val", mode="relative", dim=224)
+    else:
+        from fashionern_aaai2024_tpu.data.shoes import ShoesDataset
+
+        rel = ShoesDataset(root, "val", mode="relative", dim=224)
+    return [(it["ref_name"], it["caption"], it["tar_name"])
+            for it in (rel[i] for i in range(len(rel)))]
+
+
+# the trainer/eval headline key each dataset selects its best ckpt on
+METRIC_KEY = {"fashioniq": "avg", "cirr": "headline", "shoes": "avg"}
+
+
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="fashioniq",
+                   choices=sorted(METRIC_KEY))
     p.add_argument("--work", default="/tmp/accuracy_soak")
     p.add_argument("--model", default="ViT-B-16")
     p.add_argument("--n-images", type=int, default=64)
@@ -96,7 +129,8 @@ def main():
     art = os.path.join(args.work, "artifact")
     os.makedirs(args.work, exist_ok=True)
     bpe = os.path.join(root, "bpe.txt.gz")
-    common = ["--dataset", "fashioniq", "--data-root", root,
+    mkey = METRIC_KEY[args.dataset]
+    common = ["--dataset", args.dataset, "--data-root", root,
               "--clip-model-name", args.model, "--bpe-path", bpe,
               "--num-workers", "0"]
 
@@ -118,7 +152,7 @@ def main():
 
     # 1. fixture
     if "fixture" not in stages:
-        run_cli(["make-fixture", "--dataset", "fashioniq", "--out", root,
+        run_cli(["make-fixture", "--dataset", args.dataset, "--out", root,
                  "--n-images", str(args.n_images),
                  "--n-triplets", str(args.n_triplets)], env, "fixture")
         bank("fixture")
@@ -144,7 +178,7 @@ def main():
             clean=(log_path,))
         bank("train_s", train_s)
     train_s = stages["train_s"]
-    best_path = os.path.join(ck, "fashioniq-best")
+    best_path = os.path.join(ck, f"{args.dataset}-best")
     recs = [json.loads(l) for l in open(log_path)]
     steps = max(r.get("step", 0) for r in recs)
     val_curve = [(r["step"], r["val_metric"]) for r in recs if "val_metric" in r]
@@ -172,9 +206,7 @@ def main():
     os.environ["FASHIONERN_BPE_PATH"] = bpe
     sys.path.insert(0, REPO)
     from fashionern_aaai2024_tpu.cli.main import build_parser, build_service
-    from fashionern_aaai2024_tpu.data.fashioniq import FashionIQDataset
     from fashionern_aaai2024_tpu.retrieval.artifact import load_serve_artifact
-    from fashionern_aaai2024_tpu.data.captions import join_fiq_captions
 
     sargs = build_parser().parse_args(
         ["serve", *common, "--batch-size", "32", "--split", "val",
@@ -184,16 +216,11 @@ def main():
     assert artifact.names == service.gallery.names, \
         "artifact gallery order != live service gallery order"
 
-    rel = FashionIQDataset(root, "val", ["dress", "shirt", "toptee"],
-                           mode="relative", dim=224)
-    queries = [(it["ref_name"], it["captions"], it["tar_name"])
-               for it in (rel[i] for i in range(len(rel)))]
+    queries = iter_queries(args.dataset, root)
     k = 10
     hits_live = hits_art = 0
     mismatched = 0
-    for ref, caps, tar in queries:
-        # the FIQ dual-caption join the eval protocol uses
-        cap = join_fiq_captions(caps[0], caps[1])
+    for ref, cap, tar in queries:
         live, _lat = service.query([ref], [cap], k=k)
         live_names = [d["name"] for d in live[0]]
         ids = service.api.tokenize([cap])
@@ -210,6 +237,7 @@ def main():
     r_art = 100.0 * hits_art / len(queries)
 
     summary = {
+        "dataset": args.dataset,
         "model": args.model,
         "fixture": {"n_images_per_type": args.n_images,
                     "n_triplets_per_type_split": args.n_triplets},
@@ -228,10 +256,10 @@ def main():
     print(json.dumps(summary), flush=True)
     assert mismatched == 0, "artifact answers diverge from live service"
     assert r_live == r_art
-    assert trained_recalls["avg"] > base_recalls["avg"], \
+    assert trained_recalls[mkey] > base_recalls[mkey], \
         "training did not improve the selection metric over random init"
-    print(f"[soak] OK: {steps} steps, eval avg {base_recalls['avg']:.1f} → "
-          f"{trained_recalls['avg']:.1f}, artifact == live on "
+    print(f"[soak] OK: {steps} steps, eval {mkey} {base_recalls[mkey]:.1f} → "
+          f"{trained_recalls[mkey]:.1f}, artifact == live on "
           f"{len(queries)} queries (R@10 {r_art:.1f})")
 
 
