@@ -117,6 +117,11 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--epochs", type=int, default=15)
     p.add_argument("--out", default="/tmp/accuracy_soak.json")
+    p.add_argument("--learnable", action="store_true",
+                   help="attribute-signal fixture: captions describe the "
+                        "target, so held-out val recall can actually rise "
+                        "(the default fixture has no caption↔image signal; "
+                        "its val curve is a noise floor by construction)")
     p.add_argument("--resume", action="store_true",
                    help="reuse completed stages recorded in <work>/stages.json "
                         "(idempotent retry after a tunnel flake or script fix)")
@@ -154,7 +159,9 @@ def main():
     if "fixture" not in stages:
         run_cli(["make-fixture", "--dataset", args.dataset, "--out", root,
                  "--n-images", str(args.n_images),
-                 "--n-triplets", str(args.n_triplets)], env, "fixture")
+                 "--n-triplets", str(args.n_triplets)]
+                + (["--learnable"] if args.learnable else []),
+                env, "fixture")
         bank("fixture")
 
     # 2. untrained baseline eval
@@ -240,7 +247,8 @@ def main():
         "dataset": args.dataset,
         "model": args.model,
         "fixture": {"n_images_per_type": args.n_images,
-                    "n_triplets_per_type_split": args.n_triplets},
+                    "n_triplets_per_type_split": args.n_triplets,
+                    "learnable": args.learnable},
         "train": {"steps": steps, "epochs": args.epochs,
                   "batch": args.batch, "wall_s": round(train_s, 1),
                   "val_curve": val_curve, "best_metric": best_metric},

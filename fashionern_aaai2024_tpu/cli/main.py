@@ -274,6 +274,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "plumbing fixture; accuracy soak uses larger)")
     mf.add_argument("--n-triplets", default=None, type=int,
                     help="per-type per-split triplet count")
+    mf.add_argument("--learnable", action="store_true",
+                    help="images carry visible (color, pattern) attributes "
+                         "and captions describe the target's — held-out "
+                         "queries become genuinely learnable "
+                         "(fashioniq/cirr/shoes)")
 
     fb = sub.add_parser("fetch-bpe",
                         help="download + hash-verify the CLIP BPE merges table "
@@ -836,7 +841,8 @@ def main(argv=None) -> int:
         root = make_fixture(args.out, args.dataset, dim=args.dim,
                             patch_num=args.patch_num, seed=args.seed,
                             n_images=args.n_images,
-                            n_triplets=args.n_triplets)
+                            n_triplets=args.n_triplets,
+                            learnable=args.learnable)
         print(f"fixture written to {root} (bpe table: {root}/bpe.txt.gz)")
         return 0
     if args.command == "fetch-bpe":

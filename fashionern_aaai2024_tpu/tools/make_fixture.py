@@ -36,6 +36,15 @@ import numpy as np
 _COLORS = ("red", "blue", "black", "white", "green", "yellow")
 _STYLES = ("floral", "striped", "plain", "dotted", "lace", "denim")
 
+# learnable mode: visible attributes CLIP's frozen towers separate well,
+# so caption→target retrieval on HELD-OUT val triplets is actually
+# learnable (the default random fixture has no caption↔image signal by
+# construction — fine for plumbing, a ceiling of noise for accuracy)
+_ATTR_RGB = {"red": (220, 40, 40), "blue": (40, 70, 220),
+             "green": (40, 180, 70), "yellow": (230, 210, 40),
+             "purple": (150, 50, 200), "orange": (240, 140, 30)}
+_ATTR_PATTERNS = ("striped", "dotted", "plain")
+
 
 def _write_image(path: str, rng: random.Random, size: int = 64) -> None:
     from PIL import Image
@@ -46,6 +55,41 @@ def _write_image(path: str, rng: random.Random, size: int = 64) -> None:
           for _ in range(size)] for _ in range(size)], np.uint8
     )
     Image.fromarray(arr).save(path)
+
+
+def _write_attr_image(path: str, rng: random.Random, color: str,
+                      pattern: str, size: int = 64) -> None:
+    """A mostly-solid `color` image with a visible `pattern` overlay and
+    mild pixel noise (so images of one class are distinct but cluster)."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    base = np.asarray(_ATTR_RGB[color], np.float32)
+    arr = np.tile(base, (size, size, 1))
+    if pattern == "striped":
+        arr[:, ::8] = (245, 245, 245)
+    elif pattern == "dotted":
+        arr[3::8, 3::8] = (10, 10, 10)
+        arr[3::8, 4::8] = (10, 10, 10)
+        arr[4::8, 3::8] = (10, 10, 10)
+        arr[4::8, 4::8] = (10, 10, 10)
+    noise = np.asarray([[rng.gauss(0.0, 12.0) for _ in range(size)]
+                        for _ in range(size)], np.float32)[..., None]
+    arr = np.clip(arr + noise, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _assign_attrs(names: list[str], rng: random.Random) -> dict:
+    """name → (color, pattern), round-robin over the class grid so every
+    class has gallery members (multiple images per class ⇒ recall@10 can
+    reward learned attribute retrieval, not just one-in-N luck)."""
+    grid = [(c, p) for c in _ATTR_RGB for p in _ATTR_PATTERNS]
+    rng.shuffle(grid)
+    return {n: grid[i % len(grid)] for i, n in enumerate(names)}
+
+
+def _attr_caption(color: str, pattern: str) -> str:
+    return f"is {color} with {pattern} pattern"
 
 
 def _write_patches(dir_: str, names: list[str], dim: int, patch_num: int,
@@ -110,23 +154,35 @@ def _caption(rng: random.Random) -> str:
 
 
 def make_fashioniq(root: str, n_images: int = 12, n_triplets: int = 6,
-                   dim: int = 512, patch_num: int = 13, seed: int = 0) -> None:
+                   dim: int = 512, patch_num: int = 13, seed: int = 0,
+                   learnable: bool = False) -> None:
     rng = random.Random(seed)
     os.makedirs(os.path.join(root, "captions"), exist_ok=True)
     os.makedirs(os.path.join(root, "image_splits"), exist_ok=True)
-    all_names, caps = [], []
+    all_names, caps, all_attrs = [], [], {}
     for dt in ("dress", "shirt", "toptee"):
         names = [f"{dt}{i}" for i in range(n_images)]
         all_names.extend(names)
+        attrs = _assign_attrs(names, rng) if learnable else {}
+        all_attrs.update(attrs)
         for n in names:
-            _write_image(os.path.join(root, "images", f"{n}.png"), rng)
+            path = os.path.join(root, "images", f"{n}.png")
+            if learnable:
+                _write_attr_image(path, rng, *attrs[n])
+            else:
+                _write_image(path, rng)
         for split in ("train", "val"):
             trips = []
             for _ in range(n_triplets):
                 a, b = rng.sample(names, 2)
+                if learnable:  # the dual captions describe the TARGET
+                    color, pattern = attrs[b]
+                    captions = [f"is {color}", f"has {pattern} pattern"]
+                else:
+                    captions = [_caption(rng), _caption(rng)]
                 trips.append({"candidate": a, "target": b,
-                              "captions": [_caption(rng), _caption(rng)]})
-                caps.extend(trips[-1]["captions"])
+                              "captions": captions})
+                caps.extend(captions)
             with open(os.path.join(root, "captions",
                                    f"cap.{dt}.{split}.json"), "w") as f:
                 json.dump(trips, f)
@@ -135,18 +191,26 @@ def make_fashioniq(root: str, n_images: int = 12, n_triplets: int = 6,
                 json.dump(names, f)
     _write_patches(os.path.join(root, "fashion_local13"), all_names, dim,
                    patch_num, seed)
+    if learnable:
+        with open(os.path.join(root, "fixture_attrs.json"), "w") as f:
+            json.dump({n: list(a) for n, a in all_attrs.items()}, f)
     write_bpe_table(root, caps)
 
 
 def make_cirr(root: str, n_images: int = 16, n_triplets: int = 8,
-              dim: int = 512, patch_num: int = 13, seed: int = 0) -> None:
+              dim: int = 512, patch_num: int = 13, seed: int = 0,
+              learnable: bool = False) -> None:
     rng = random.Random(seed)
     os.makedirs(os.path.join(root, "cirr", "captions"), exist_ok=True)
     os.makedirs(os.path.join(root, "cirr", "image_splits"), exist_ok=True)
     names = [f"cirr{i}" for i in range(n_images)]
     relpath = {n: f"dev/{n}.png" for n in names}
+    attrs = _assign_attrs(names, rng) if learnable else {}
     for n in names:
-        _write_image(os.path.join(root, relpath[n]), rng)
+        if learnable:
+            _write_attr_image(os.path.join(root, relpath[n]), rng, *attrs[n])
+        else:
+            _write_image(os.path.join(root, relpath[n]), rng)
     caps = []
     for split in ("train", "val", "test1"):
         trips = []
@@ -158,7 +222,8 @@ def make_cirr(root: str, n_images: int = 16, n_triplets: int = 8,
             others = rng.sample([n for n in names if n not in (a, b)], 4)
             members = [a, b] + others
             rng.shuffle(members)
-            trip = {"reference": a, "caption": _caption(rng),
+            cap = _attr_caption(*attrs[b]) if learnable else _caption(rng)
+            trip = {"reference": a, "caption": cap,
                     "img_set": {"members": members}}
             caps.append(trip["caption"])
             if split == "test1":
@@ -174,16 +239,24 @@ def make_cirr(root: str, n_images: int = 16, n_triplets: int = 8,
             json.dump(relpath, f)
     _write_patches(os.path.join(root, "cirr_local_13"), names, dim,
                    patch_num, seed)
+    if learnable:
+        with open(os.path.join(root, "fixture_attrs.json"), "w") as f:
+            json.dump({n: list(a) for n, a in attrs.items()}, f)
     write_bpe_table(root, caps)
 
 
 def make_shoes(root: str, n_images: int = 12, n_triplets: int = 6,
-               dim: int = 512, patch_num: int = 13, seed: int = 0) -> None:
+               dim: int = 512, patch_num: int = 13, seed: int = 0,
+               learnable: bool = False) -> None:
     rng = random.Random(seed)
     names = [f"shoe{i}" for i in range(n_images)]
     rels = [f"attributedata/{n}.jpg" for n in names]
-    for r in rels:
-        _write_image(os.path.join(root, r), rng)
+    attrs = _assign_attrs(names, rng) if learnable else {}
+    for n, r in zip(names, rels):
+        if learnable:
+            _write_attr_image(os.path.join(root, r), rng, *attrs[n])
+        else:
+            _write_image(os.path.join(root, r), rng)
     caps = []
     for split in ("train", "val"):
         with open(os.path.join(root, f"split.{split}.json"), "w") as f:
@@ -191,13 +264,18 @@ def make_shoes(root: str, n_images: int = 12, n_triplets: int = 6,
         trips = []
         for _ in range(n_triplets):
             i, j = rng.sample(range(n_images), 2)
+            cap = (_attr_caption(*attrs[names[j]]) if learnable
+                   else _caption(rng))
             trips.append({"ReferenceImageName": rels[i], "ImageName": rels[j],
-                          "RelativeCaption": _caption(rng)})
-            caps.append(trips[-1]["RelativeCaption"])
+                          "RelativeCaption": cap})
+            caps.append(cap)
         with open(os.path.join(root, f"triplet.{split}.json"), "w") as f:
             json.dump(trips, f)
     _write_patches(os.path.join(root, "shoes_local_feature_13"), names, dim,
                    patch_num, seed)
+    if learnable:
+        with open(os.path.join(root, "fixture_attrs.json"), "w") as f:
+            json.dump({n: list(a) for n, a in attrs.items()}, f)
     write_bpe_table(root, caps)
 
 
@@ -256,23 +334,33 @@ MAKERS = {
 def make_fixture(root: str, dataset: str, dim: int = 512,
                  patch_num: int = 13, seed: int = 0,
                  n_images: int | None = None,
-                 n_triplets: int | None = None) -> str:
+                 n_triplets: int | None = None,
+                 learnable: bool = False) -> str:
     """`n_images`/`n_triplets` scale the per-type universe (fashioniq /
     cirr / shoes makers): the defaults make a seconds-fast plumbing
     fixture; the accuracy soak (benchmarks/accuracy_soak.py) uses a
     larger one so recall@K over the gallery is a sharp metric rather
-    than a saturating one."""
+    than a saturating one.
+
+    `learnable=True` (fashioniq/cirr/shoes) draws each image with a
+    visible (color, pattern) attribute pair and makes every triplet's
+    caption describe its TARGET's attributes, so held-out val queries
+    are genuinely learnable — the accuracy soak's generalization mode.
+    The name→attrs map is written to fixture_attrs.json."""
     os.makedirs(root, exist_ok=True)
     kw = dict(dim=dim, patch_num=patch_num, seed=seed)
     if n_images is not None:
         kw["n_images"] = n_images
     if n_triplets is not None:
         kw["n_triplets"] = n_triplets
+    if learnable:
+        kw["learnable"] = True
     try:
         MAKERS[dataset](root, **kw)
     except TypeError:
         # fashion200k sizes by n_per_color, not n_images/n_triplets
         kw.pop("n_images", None)
         kw.pop("n_triplets", None)
+        kw.pop("learnable", None)
         MAKERS[dataset](root, **kw)
     return root

@@ -87,3 +87,54 @@ class TestFixtureLayouts:
         a = store.get("dress0")
         b = store.get_batch(["dress0", "dress1"])
         np.testing.assert_array_equal(b[0], a)
+
+
+class TestLearnableFixture:
+    """`--learnable` mode: captions describe the target's visible
+    attributes, so held-out queries are learnable (the accuracy soak's
+    generalization mode)."""
+
+    @pytest.fixture(scope="class")
+    def root(self, tmp_path_factory):
+        out = str(tmp_path_factory.mktemp("fiq_learnable"))
+        make_fixture(out, "fashioniq", dim=32, n_images=12, n_triplets=8,
+                     learnable=True)
+        return out
+
+    def test_captions_describe_target_attrs(self, root):
+        import json
+
+        with open(f"{root}/fixture_attrs.json") as f:
+            attrs = json.load(f)
+        for split in ("train", "val"):
+            with open(f"{root}/captions/cap.dress.{split}.json") as f:
+                trips = json.load(f)
+            for t in trips:
+                color, pattern = attrs[t["target"]]
+                assert t["captions"][0] == f"is {color}"
+                assert t["captions"][1] == f"has {pattern} pattern"
+
+    def test_images_carry_the_attribute_signal(self, root):
+        import json
+
+        from PIL import Image
+
+        from fashionern_aaai2024_tpu.tools.make_fixture import _ATTR_RGB
+
+        with open(f"{root}/fixture_attrs.json") as f:
+            attrs = json.load(f)
+        for name, (color, _) in list(attrs.items())[:6]:
+            arr = np.asarray(Image.open(f"{root}/images/{name}.png"),
+                             np.float32)
+            # the dominant color must be the nearest palette entry by
+            # median pixel (median ignores the pattern overlay + noise)
+            med = np.median(arr.reshape(-1, 3), axis=0)
+            dists = {c: np.linalg.norm(med - np.asarray(rgb))
+                     for c, rgb in _ATTR_RGB.items()}
+            assert min(dists, key=dists.get) == color, (name, med)
+
+    def test_default_fixture_unchanged(self, roots):
+        import os
+
+        assert not os.path.exists(
+            f"{roots['fashioniq']}/fixture_attrs.json")
