@@ -63,7 +63,9 @@ def run_cli(args_list, env, tag, capture_json=False, attempts=3, clean=()):
                            text=True)
         if r.returncode == 0:
             break
-        transient = "remote_compile" in r.stderr or "INTERNAL" in r.stderr
+        transient = any(sig in r.stderr for sig in (
+            "remote_compile", "INTERNAL", "FAILED_PRECONDITION",
+            "UNAVAILABLE", "DEADLINE_EXCEEDED"))
         print(r.stdout[-2000:], r.stderr[-2000:], sep="\n---\n")
         if not (transient and i + 1 < attempts):
             raise SystemExit(f"{tag} failed rc={r.returncode}")
