@@ -166,11 +166,14 @@ def main():
                 env, "fixture")
         bank("fixture")
 
-    # 2. untrained baseline eval
+    # 2. untrained baseline eval — same init seed as the train leg so the
+    # frozen towers are IDENTICAL and the trained-vs-untrained delta is
+    # purely the fusion subtree (the trained legs below resolve the same
+    # seed automatically from the best ckpt's .meta.json sidecar)
     if "base_recalls" not in stages:
         base_recalls, _ = run_cli(
             ["eval", *common, "--batch-size", "32", "--split", "val",
-             "--json"], env, "baseline eval", capture_json=True)
+             "--seed", "7", "--json"], env, "baseline eval", capture_json=True)
         bank("base_recalls", base_recalls)
     base_recalls = stages["base_recalls"]
     print("[soak] untrained:", json.dumps(base_recalls), flush=True)

@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fine-tuned CLIP checkpoint (reference saved_state_dict['CLIP'])")
     e.add_argument("--fusion-model-path", default=None,
                    help="fusion (ERN) checkpoint: torch .pth or Orbax dir")
+    e.add_argument("--seed", default=None, type=int,
+                   help="init seed for random-init model parts (default: "
+                        "the fusion ckpt's recorded train-init seed, "
+                        "else 42)")
     e.add_argument("--batch-size", default=32, type=int)
     e.add_argument("--split", default="val")
     e.add_argument("--json", action="store_true", help="print metrics as one JSON line")
@@ -134,6 +138,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(sv)
     sv.add_argument("--clip-path", default=None)
     sv.add_argument("--fusion-model-path", default=None)
+    sv.add_argument("--seed", default=None, type=int)
     sv.add_argument("--batch-size", default=32, type=int)
     sv.add_argument("--split", default="val")
     sv.add_argument("--host", default="127.0.0.1")
@@ -181,6 +186,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(ex)
     ex.add_argument("--clip-path", default=None)
     ex.add_argument("--fusion-model-path", default=None)
+    ex.add_argument("--seed", default=None, type=int)
     ex.add_argument("--batch-size", default=32, type=int)
     ex.add_argument("--split", default="val")
     ex.add_argument("--out", required=True, help="artifact directory")
@@ -203,6 +209,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(rf)
     rf.add_argument("--clip-path", default=None)
     rf.add_argument("--fusion-model-path", default=None)
+    rf.add_argument("--seed", default=None, type=int)
     rf.add_argument("--batch-size", default=32, type=int)
     rf.add_argument("--split", default="val")
     rf.add_argument("--artifact", required=True, help="artifact directory "
@@ -306,13 +313,38 @@ def _load_torch_state_dict(path: str):
 
 
 def load_model_variables(clip_cfg, clip_path: str | None, fusion_path: str | None,
-                         patch_num: int, seed: int = 42) -> dict:
+                         patch_num: int, seed: int | None = None) -> dict:
     """Assemble composed-model variables from (optionally converted)
-    checkpoints; random init for whatever is missing."""
+    checkpoints; random init for whatever is missing.
+
+    Seed resolution for the random-init parts: explicit `seed` arg >
+    the best-checkpoint's `.meta.json` sidecar (written by the Trainer:
+    the init seed the fusion subtree was actually trained against) >
+    42. With random-init CLIP towers (no `clip_path` — fixture/test
+    world) this matters: a trained ERN evaluated against towers from a
+    DIFFERENT init seed returns noise-level recalls."""
+    import os
+    import warnings
+
     import jax
     import numpy as np
 
     from fashionern_aaai2024_tpu.models.composed import ComposedCIRModel, merge_variables
+
+    meta = {}
+    if fusion_path and not fusion_path.endswith((".pth", ".pt", ".bin")):
+        meta_path = fusion_path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+    if seed is None:
+        seed = meta.get("init_seed", 42) if clip_path is None else 42
+    if clip_path is None and meta.get("clip_from_checkpoint"):
+        warnings.warn(
+            "fusion checkpoint was trained against CLIP weights loaded "
+            "from a checkpoint, but no --clip-model-path was given — "
+            "evaluating it against random-init towers returns garbage",
+            stacklevel=2)
 
     model = ComposedCIRModel(clip_cfg, patch_num=patch_num)
     rng = jax.random.PRNGKey(seed)
@@ -376,7 +408,8 @@ def run_eval(args) -> dict:
         quantize_mlp=True if getattr(args, "quantize_towers", False) else None,
     )
     model, variables = load_model_variables(
-        clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num
+        clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num,
+        seed=getattr(args, "seed", None),
     )
     if getattr(args, "fold_bn", False):
         from fashionern_aaai2024_tpu.models.clip.resnet import fold_batchnorm
@@ -525,7 +558,8 @@ def build_service(args):
         quantize_mlp=True if args.quantize_towers else None,
     )
     model, variables = load_model_variables(
-        clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num)
+        clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num,
+        seed=getattr(args, "seed", None))
     if getattr(args, "fold_bn", False):
         from fashionern_aaai2024_tpu.models.clip.resnet import fold_batchnorm
 

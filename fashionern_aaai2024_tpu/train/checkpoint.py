@@ -15,6 +15,7 @@ a fine-tuned CLIP under key "CLIP" plus a fusion state_dict
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any
 
@@ -139,10 +140,21 @@ class BestCheckpointer:
     def best_path(self) -> str:
         return os.path.join(self.ckpt_dir, f"{self.name}-best")
 
-    def update(self, metric: float, params: Any) -> bool:
-        """Save `params` if `metric` improves; returns whether it did."""
+    def update(self, metric: float, params: Any, meta: dict | None = None) -> bool:
+        """Save `params` if `metric` improves; returns whether it did.
+
+        `meta` (JSON-serializable) is written to `<best_path>.meta.json`
+        alongside the Orbax dir. The trainer records the model-init seed
+        and whether CLIP weights came from a checkpoint, so downstream
+        eval/serve/export can reconstruct the EXACT frozen towers this
+        fusion subtree was trained against (with random-init CLIP —
+        fixture/test world — a different init seed at load time silently
+        evaluates the trained params against different towers)."""
         if metric <= self.best_metric:
             return False
         self.best_metric = metric
         save_params(self.best_path, params)
+        if meta is not None:
+            with open(self.best_path + ".meta.json", "w") as f:
+                json.dump({**meta, "metric": metric}, f)
         return True

@@ -354,6 +354,7 @@ class Trainer:
         if "batch_stats" in cv:
             bs["clip"] = cv["batch_stats"]
         self.state = self.state.replace(clip_params=cv["params"], batch_stats=bs)
+        self._clip_from_checkpoint = True
 
     # ------------------------------------------------------------------
     def build_feature_cache(self) -> None:
@@ -524,7 +525,16 @@ class Trainer:
         best_tree = {"params": self.state.ern_params}
         if self.state.batch_stats and "ern" in self.state.batch_stats:
             best_tree["batch_stats"] = self.state.batch_stats["ern"]
-        if self.best.update(metric, best_tree):
+        # the sidecar lets eval/serve/export rebuild the SAME frozen
+        # towers this fusion subtree trained against: with random-init
+        # CLIP (no --clip-model-path) the towers are a function of the
+        # init seed, and a mismatched seed at load time turns the
+        # trained params into noise (load_model_variables honors this)
+        meta = {"init_seed": self.cfg.seed,
+                "clip_model_name": self.cfg.clip_model_name,
+                "clip_from_checkpoint": getattr(
+                    self, "_clip_from_checkpoint", False)}
+        if self.best.update(metric, best_tree, meta=meta):
             self.logger.log(step=self.global_step, epoch=epoch,
                             best_metric=self.best.best_metric,
                             checkpoint=self.best.best_path)
@@ -543,7 +553,10 @@ class Trainer:
         meta_path = self.cfg.resume_path + ".meta.json"
         if os.path.exists(meta_path):
             with open(meta_path) as f:
-                self.best.best_metric = float(json.load(f)["best_metric"])
+                meta = json.load(f)
+            self.best.best_metric = float(meta["best_metric"])
+            if meta.get("clip_from_checkpoint"):
+                self._clip_from_checkpoint = True
         self.logger.log(step=self.global_step, resumed_from=self.cfg.resume_path,
                         best_metric=self.best.best_metric)
         return True
@@ -574,7 +587,9 @@ class Trainer:
         save_state(path, self.state)
         # best-checkpoint selection must survive the restart too, or a
         # resumed run would re-save a WORSE model as "best"
-        meta = {"best_metric": self.best.best_metric}
+        meta = {"best_metric": self.best.best_metric,
+                "clip_from_checkpoint": getattr(
+                    self, "_clip_from_checkpoint", False)}
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
         return path
