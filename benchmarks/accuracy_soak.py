@@ -19,9 +19,11 @@ Protocol (all through public surfaces — the CLI and the artifact API):
      recalls are equal — train→select→export→serve returns the same
      answers end to end.
 
-Supports the three relative-triplet datasets (fashioniq, cirr, shoes);
-fashion200k's multi-positive pair protocol has its own eval semantics
-and is covered by the dress-rehearsal drive instead.
+Supports all four dataset families. fashion200k uses its multi-positive
+pair protocol (gallery ids are CAPTIONS; any top-K image sharing the
+target caption counts, `run/test/test_200k.py:53-60`) with the opt-in
+`--validate-200k` in-training validation for best-ckpt selection (the
+reference skips in-training validation for 200k at real scale).
 
 Writes a ledger JSON (--out) for BASELINE.md.
 
@@ -92,6 +94,17 @@ def iter_queries(dataset: str, root: str):
                                mode="relative", dim=224)
         return [(it["ref_name"], join_fiq_captions(*it["captions"][:2]),
                  it["tar_name"]) for it in (rel[i] for i in range(len(rel)))]
+    if dataset == "fashion200k":
+        # multi-positive protocol: ref/tar "names" are CAPTION ids (the
+        # gallery uses them as item names, so any image of the target
+        # caption class counts as a hit)
+        from fashionern_aaai2024_tpu.data.fashion200k import (
+            Fashion200kTestQueryDataset,
+        )
+
+        rel = Fashion200kTestQueryDataset(root, split="test", dim=224)
+        return [(it["ref_id"], it["caption"], it["tar_id"])
+                for it in (rel[i] for i in range(len(rel)))]
     if dataset == "cirr":
         from fashionern_aaai2024_tpu.data.cirr import CIRRDataset
 
@@ -105,7 +118,8 @@ def iter_queries(dataset: str, root: str):
 
 
 # the trainer/eval headline key each dataset selects its best ckpt on
-METRIC_KEY = {"fashioniq": "avg", "cirr": "headline", "shoes": "avg"}
+METRIC_KEY = {"fashioniq": "avg", "cirr": "headline", "shoes": "avg",
+              "fashion200k": "avg"}
 
 
 def main():
@@ -124,6 +138,10 @@ def main():
                         "target, so held-out val recall can actually rise "
                         "(the default fixture has no caption↔image signal; "
                         "its val curve is a noise floor by construction)")
+    p.add_argument("--tme", action="store_true",
+                   help="train/eval/export with the TME text-enhancement "
+                        "module (trainable, ERN subtree) — the VERDICT r4 "
+                        "#6 learning demonstration")
     p.add_argument("--resume", action="store_true",
                    help="reuse completed stages recorded in <work>/stages.json "
                         "(idempotent retry after a tunnel flake or script fix)")
@@ -139,7 +157,7 @@ def main():
     mkey = METRIC_KEY[args.dataset]
     common = ["--dataset", args.dataset, "--data-root", root,
               "--clip-model-name", args.model, "--bpe-path", bpe,
-              "--num-workers", "0"]
+              "--num-workers", "0"] + (["--tme"] if args.tme else [])
 
     # completed stages are memoized in the work dir so a retried run (a
     # tunnel flake, or a fix to the in-process leg below) skips the
@@ -157,11 +175,17 @@ def main():
             json.dump(stages, f)
         return value
 
-    # 1. fixture
+    # 1. fixture (fashion200k sizes by per-class images + query count;
+    # the triplet datasets by per-type image/triplet universes)
     if "fixture" not in stages:
+        if args.dataset == "fashion200k":
+            sizing = ["--n-per-color", str(max(2, args.n_images // 8)),
+                      "--n-queries", str(args.n_triplets)]
+        else:
+            sizing = ["--n-images", str(args.n_images),
+                      "--n-triplets", str(args.n_triplets)]
         run_cli(["make-fixture", "--dataset", args.dataset, "--out", root,
-                 "--n-images", str(args.n_images),
-                 "--n-triplets", str(args.n_triplets)]
+                 *sizing]
                 + (["--learnable"] if args.learnable else []),
                 env, "fixture")
         bank("fixture")
@@ -186,8 +210,9 @@ def main():
              "--num-epochs", str(args.epochs), "--validation-frequency", "1",
              "--validation-bs", "32", "--image-dtype", "uint8",
              "--ckpt-dir", ck, "--print-frequency", "5",
-             "--log-path", log_path, "--seed", "7"], env, "train",
-            clean=(log_path,))
+             "--log-path", log_path, "--seed", "7"]
+            + (["--validate-200k"] if args.dataset == "fashion200k" else []),
+            env, "train", clean=(log_path,))
         bank("train_s", train_s)
     train_s = stages["train_s"]
     best_path = os.path.join(ck, f"{args.dataset}-best")
@@ -251,6 +276,7 @@ def main():
     summary = {
         "dataset": args.dataset,
         "model": args.model,
+        "tme": args.tme,
         "fixture": {"n_images_per_type": args.n_images,
                     "n_triplets_per_type_split": args.n_triplets,
                     "learnable": args.learnable},

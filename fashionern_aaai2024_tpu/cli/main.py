@@ -45,6 +45,14 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "(4x less host->device transfer; ~1-ulp feature delta)")
     p.add_argument("--bpe-path", default=None,
                    help="Path to open_clip's bpe_simple_vocab_16e6.txt.gz")
+    p.add_argument("--tme", action="store_true",
+                   help="TME text enhancement: a trainable cross-attention "
+                        "module (ERN subtree, models/ern/tme.py) conditions "
+                        "text encoding on the reference patches — the "
+                        "reconstruction of the reference's closed-source "
+                        "fork surface (README.md:41). Zero-init: training "
+                        "starts at the vanilla function. Pass the SAME flag "
+                        "to train/eval/serve/export so checkpoints match")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -90,6 +98,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "run a background thread this many batches ahead "
                         "of the step (0 = serial feed; numerics identical "
                         "either way — batches are keyed by step id)")
+    t.add_argument("--validate-200k", action="store_true",
+                   help="opt-in in-training validation for fashion200k "
+                        "(multi-positive test-split eval per validation "
+                        "epoch + best-ckpt selection; the reference skips "
+                        "it for gallery size, base_trainer.py:50-53)")
 
     e = sub.add_parser("eval", help="run a retrieval benchmark")
     _add_common(e)
@@ -281,6 +294,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "plumbing fixture; accuracy soak uses larger)")
     mf.add_argument("--n-triplets", default=None, type=int,
                     help="per-type per-split triplet count")
+    mf.add_argument("--n-per-color", default=None, type=int,
+                    help="fashion200k only: images per (color,style) class "
+                         "per split (gallery scale knob)")
+    mf.add_argument("--n-queries", default=None, type=int,
+                    help="fashion200k only: test_queries.txt size")
     mf.add_argument("--learnable", action="store_true",
                     help="images carry visible (color, pattern) attributes "
                          "and captions describe the target's — held-out "
@@ -345,6 +363,12 @@ def load_model_variables(clip_cfg, clip_path: str | None, fusion_path: str | Non
             "from a checkpoint, but no --clip-model-path was given — "
             "evaluating it against random-init towers returns garbage",
             stacklevel=2)
+    if "tme" in meta and bool(meta["tme"]) != bool(clip_cfg.text.tme):
+        warnings.warn(
+            f"fusion checkpoint was trained with tme={meta['tme']} but the "
+            f"model is built with tme={clip_cfg.text.tme} — pass the same "
+            "--tme flag the training run used (the ERN param trees differ)",
+            stacklevel=2)
 
     model = ComposedCIRModel(clip_cfg, patch_num=patch_num)
     rng = jax.random.PRNGKey(seed)
@@ -406,6 +430,7 @@ def run_eval(args) -> dict:
     clip_cfg = get_clip_config(
         args.clip_model_name,
         quantize_mlp=True if getattr(args, "quantize_towers", False) else None,
+        tme=True if getattr(args, "tme", False) else None,
     )
     model, variables = load_model_variables(
         clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num,
@@ -556,6 +581,7 @@ def build_service(args):
     clip_cfg = get_clip_config(
         args.clip_model_name,
         quantize_mlp=True if args.quantize_towers else None,
+        tme=True if getattr(args, "tme", False) else None,
     )
     model, variables = load_model_variables(
         clip_cfg, args.clip_path, args.fusion_model_path, args.patch_num,
@@ -729,6 +755,8 @@ def run_train(args) -> None:
         quantize_towers=getattr(args, "quantize_towers", False),
         image_dtype=getattr(args, "image_dtype", "float32"),
         prefetch_batches=getattr(args, "prefetch", 2),
+        validate_200k=getattr(args, "validate_200k", False),
+        tme=getattr(args, "tme", False),
     )
     trainer = Trainer(cfg)
     if args.clip_model_path:
@@ -876,7 +904,9 @@ def main(argv=None) -> int:
                             patch_num=args.patch_num, seed=args.seed,
                             n_images=args.n_images,
                             n_triplets=args.n_triplets,
-                            learnable=args.learnable)
+                            learnable=args.learnable,
+                            n_per_color=args.n_per_color,
+                            n_queries=args.n_queries)
         print(f"fixture written to {root} (bpe table: {root}/bpe.txt.gz)")
         return 0
     if args.command == "fetch-bpe":

@@ -9,15 +9,15 @@ is the vanilla single-branch implementation of that surface:
   * global  — ln_final output at the EOT position @ text_projection
   * seq     — ln_final output at *every* position @ text_projection
               (per-token features in the joint dim, [B, 77, d])
-  * visual_emb — ignored by DEFAULT (vanilla parity). With
-                 `TextConfig.tme=True` the tower implements the TME
-                 branch: post-transformer text token states cross-
-                 attend the reference-patch embeddings (one pre-LN
-                 cross-attention block, residual-added) before
-                 ln_final — the visual conditioning the fork's call
-                 sites pass patches for (`validate_fiq.py:86-88`).
-                 Off-by-default so every checkpoint/parity path is
-                 untouched; DEVIATIONS.md documents the design.
+  * visual_emb — accepted and IGNORED here (vanilla parity): the tower
+                 is structurally frozen in this framework (optimizer
+                 owns only the `ern` subtree; every CLIP forward is
+                 behind stop_gradient), so the TME conditioning lives
+                 in the TRAINABLE ERN subtree instead —
+                 models/ern/tme.py, applied by
+                 ComposedCIRModel.encode_text when
+                 `TextConfig.tme=True`. DEVIATIONS.md documents the
+                 design (and why an in-tower branch could never train).
 """
 
 from __future__ import annotations
@@ -51,27 +51,8 @@ class TextTower(nn.Module):
             cfg.width, cfg.layers, cfg.heads, self.activation, causal=True,
             quantize_mlp=self.quantize_mlp, name="transformer",
         )(x)
-        if cfg.tme:
-            if visual_emb is None:
-                raise ValueError(
-                    "TextConfig.tme=True requires visual_emb (the "
-                    "reference-patch embeddings) at every encode_text "
-                    "call; the vanilla path is tme=False (default)."
-                )
-            # TME branch: text tokens cross-attend the patch embeddings.
-            # Pre-LN + residual, so a zero-initialized output projection
-            # starts AT the vanilla function and learns the conditioning
-            # — turning the flag on does not wreck pretrained text
-            # features before fine-tuning.
-            v = nn.Dense(cfg.width, name="tme_visual_proj")(
-                visual_emb.astype(x.dtype))
-            q = LayerNorm(cfg.width, name="tme_ln")(x)
-            attn = nn.MultiHeadDotProductAttention(
-                num_heads=cfg.heads, qkv_features=cfg.width,
-                out_kernel_init=nn.initializers.zeros,
-                name="tme_cross_attn",
-            )
-            x = x + attn(inputs_q=q, inputs_k=v, inputs_v=v)
+        del visual_emb  # vanilla tower: TME lives in the trainable ERN
+        # subtree (models/ern/tme.py) — see module docstring
         x = LayerNorm(cfg.width, name="ln_final")(x)
         text_projection = self.param(
             "text_projection", nn.initializers.normal(cfg.width ** -0.5),

@@ -34,7 +34,8 @@ class ComposedCIRModel(nn.Module):
 
     def setup(self):
         self.clip = CLIP(self.clip_config)
-        self.ern = ERN(self.clip_config.feature_dim, patch_num=self.patch_num)
+        self.ern = ERN(self.clip_config.feature_dim, patch_num=self.patch_num,
+                       tme=self.clip_config.text.tme)
 
     # --- frozen CLIP modes -------------------------------------------------
     def encode_image(self, images):
@@ -42,8 +43,33 @@ class ComposedCIRModel(nn.Module):
         return jax.lax.stop_gradient(g), jax.lax.stop_gradient(tokens)
 
     def encode_text(self, text_ids, mode="global", visual_emb=None):
-        out = self.clip.encode_text(text_ids, mode=mode, visual_emb=visual_emb)
-        return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
+        """TME-fork-compatible surface: (global, seq) or seq-only.
+
+        Vanilla (default): the frozen tower's features, `visual_emb`
+        accepted and ignored (README.md:41 fallback). With
+        `TextConfig.tme=True`, the TRAINABLE TME module (ERN subtree,
+        models/ern/tme.py) conditions the frozen token features on the
+        reference patches — gradients flow into TME only; the tower
+        stays behind stop_gradient."""
+        global_feat, seq = self.clip.encode_text(text_ids, mode="global")
+        global_feat = jax.lax.stop_gradient(global_feat)
+        seq = jax.lax.stop_gradient(seq)
+        if self.clip_config.text.tme:
+            if visual_emb is None:
+                raise ValueError(
+                    "TextConfig.tme=True requires visual_emb (the "
+                    "reference-patch embeddings) at every encode_text "
+                    "call; the vanilla path is tme=False (default)."
+                )
+            seq = self.ern.enhance_text(seq, visual_emb)
+            # global is the (enhanced) EOT-position feature, as in the
+            # vanilla tower (EOT has the highest token id)
+            eot_pos = jnp.argmax(text_ids, axis=-1)
+            global_feat = jnp.take_along_axis(
+                seq, eot_pos[:, None, None], axis=1)[:, 0]
+        if mode == "seq":
+            return seq
+        return global_feat, seq
 
     # --- trainable towers --------------------------------------------------
     def index(self, tar_feats, tar_local_feats, *, deterministic=True):

@@ -15,6 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from fashionern_aaai2024_tpu.models.ern.fusion import CombinerSimple, DVRModule, VisualSR
+from fashionern_aaai2024_tpu.models.ern.tme import TMEModule
 
 
 class ERN(nn.Module):
@@ -22,15 +23,27 @@ class ERN(nn.Module):
 
     Matches reference `ERN` (`models/model.py:7-75`) minus the CLIP
     wrappers (frozen encoders live outside the trainable module).
+
+    `tme=True` adds the trainable TME text-enhancement module
+    (models/ern/tme.py) — it must live in this subtree to train at all
+    (the CLIP towers are structurally frozen).
     """
 
     feature_dim: int
     patch_num: int = 13
+    tme: bool = False
 
     def setup(self):
         self.DVR = DVRModule(self.feature_dim)
         self.SR_module = VisualSR(self.feature_dim, num_region=self.patch_num)
         self.Combiner_module = CombinerSimple(self.feature_dim)
+        if self.tme:
+            self.TME = TMEModule(self.feature_dim)
+
+    def enhance_text(self, text_seq, visual_emb):
+        """TME conditioning over frozen text token features (the
+        composed model calls this from `encode_text`)."""
+        return self.TME(text_seq, visual_emb)
 
     def index(self, tar_feats, tar_local_feats, *, deterministic: bool = True):
         """Gallery-side embedding: Combiner(tar_global, SR(tar_patches))."""

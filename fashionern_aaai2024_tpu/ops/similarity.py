@@ -178,6 +178,12 @@ def measured_approx_recall(
 
     gal = jnp.asarray(gallery, jnp.float32)
     n = gal.shape[0]
+    # blocked_top_k_similarity internally clamps k to the gallery size;
+    # dividing the overlap by the REQUESTED k would cap measured recall
+    # at n/k on galleries smaller than k even when approx == exact —
+    # and the server's strict startup calibration would then refuse a
+    # perfectly healthy small gallery. Measure against the effective k.
+    k = min(k, n)
     g = np.random.default_rng(seed)
     rows = g.choice(n, size=min(n_queries, n), replace=False)
     q = np.asarray(gal[rows])
@@ -192,7 +198,8 @@ def measured_approx_recall(
     exact_idx = np.asarray(exact_idx)
     approx_idx = np.asarray(approx_idx)
     overlap = [
-        len(set(exact_idx[i].tolist()) & set(approx_idx[i].tolist())) / k
+        len(set(exact_idx[i].tolist()) & set(approx_idx[i].tolist()))
+        / exact_idx.shape[1]
         for i in range(exact_idx.shape[0])
     ]
     return float(np.mean(overlap))

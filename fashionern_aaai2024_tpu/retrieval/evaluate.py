@@ -103,6 +103,13 @@ class InferenceAPI:
             tf = tf / (jax.numpy.linalg.norm(tf, axis=-1, keepdims=True) + 1e-12)
             return model.apply(v, tf, tl, method=model.index)
 
+        # TME models (TextConfig.tme) condition text encoding on the
+        # reference patches (the fork surface, `validate_fiq.py:86-88`);
+        # the query pipeline threads them through encode_text
+        clip_cfg = getattr(model, "clip_config", None)
+        self._tme = bool(clip_cfg is not None
+                         and getattr(clip_cfg.text, "tme", False))
+
         fns = {
             "_encode_image_v": lambda v, imgs: model.apply(
                 v, imgs, method=model.encode_image),
@@ -112,6 +119,9 @@ class InferenceAPI:
                 v, rf, rp, tg, ts, method=model.query),
             "_index_v": _index_fn,
         }
+        if self._tme:
+            fns["_encode_text_tme_v"] = lambda v, ids, ve: model.apply(
+                v, ids, visual_emb=ve, method=model.encode_text)
         if mesh is None:
             for name, fn in fns.items():
                 setattr(self, name, jax.jit(fn))
@@ -142,6 +152,9 @@ class InferenceAPI:
             self._encode_text_v = wrap(fns["_encode_text_v"], (2,), (2, 3))
             self._query_v = wrap(fns["_query_v"], (2, 3, 2, 3), 2)
             self._index_v = wrap(fns["_index_v"], (2, 3), 2)
+            if self._tme:
+                self._encode_text_tme_v = wrap(
+                    fns["_encode_text_tme_v"], (2, 3), (2, 3))
 
     def _encode_image(self, imgs):
         return self._encode_image_v(self.variables, imgs)
@@ -176,9 +189,21 @@ class InferenceAPI:
         g, tok = self._encode_image(self._place(images))
         return np.asarray(g[:n]), np.asarray(tok[:n])
 
-    def encode_text(self, token_ids: np.ndarray):
+    def encode_text(self, token_ids: np.ndarray, visual_emb=None):
+        """`visual_emb` (the reference patch features) is REQUIRED for
+        TME models and ignored for vanilla ones — callers with patches
+        at hand (the query pipeline) pass them unconditionally."""
         n = token_ids.shape[0]
-        g, seq = self._encode_text(self._place(token_ids))
+        if self._tme:
+            if visual_emb is None:
+                raise ValueError(
+                    "TME model: encode_text needs visual_emb "
+                    "(the reference patch features)")
+            g, seq = self._encode_text_tme_v(
+                self.variables, self._place(token_ids),
+                self._place(np.asarray(visual_emb, np.float32)))
+        else:
+            g, seq = self._encode_text(self._place(token_ids))
         return np.asarray(g[:n]), np.asarray(seq[:n])
 
     def query(self, ref_feats, ref_patch, text_g, text_seq) -> np.ndarray:
@@ -281,6 +306,15 @@ class InferenceAPI:
         model = self.model
         buckets = tuple(sorted(buckets))
         by_rows = ref_features is not None
+        tme = self._tme
+
+        def enc_text(v, ids, rp):
+            # TME: condition on the request's reference patches (already
+            # gathered on-device in the by-rows forms)
+            if tme:
+                return model.apply(v, ids, visual_emb=rp.astype(jnp.float32),
+                                   method=model.encode_text)
+            return model.apply(v, ids, method=model.encode_text)
 
         if mesh is not None:
             if not by_rows:
@@ -372,7 +406,7 @@ class InferenceAPI:
             return acc.astype(jnp.float32) * qs[:, None] * gs[None, :]
 
         def body(v, g, ids, rf, rp):
-            tg, ts = model.apply(v, ids, method=model.encode_text)
+            tg, ts = enc_text(v, ids, rp)
             pred = model.apply(
                 v, rf.astype(jnp.float32), rp.astype(jnp.float32),
                 tg.astype(jnp.float32), ts.astype(jnp.float32),
@@ -384,7 +418,7 @@ class InferenceAPI:
             # (or retired rows) and must lose to every real row
             def fn(v, g, gf, gp, ids, rows, n_valid):
                 rf, rp = gather_refs(gf, gp, rows)
-                tg, ts = model.apply(v, ids, method=model.encode_text)
+                tg, ts = enc_text(v, ids, rp)
                 pred = model.apply(
                     v, rf.astype(jnp.float32), rp.astype(jnp.float32),
                     tg.astype(jnp.float32), ts.astype(jnp.float32),
@@ -557,6 +591,7 @@ class InferenceAPI:
         from fashionern_aaai2024_tpu.parallel.mesh import DATA_AXIS
 
         model = self.model
+        tme = self._tme
         n_dev = mesh.shape[DATA_AXIS]
         per = -(-n_rows // n_dev)
         k_local = min(k_max, per)
@@ -623,7 +658,11 @@ class InferenceAPI:
                 gp * hit[:, None, None].astype(gp.dtype), DATA_AXIS)
             # replicated text + DVR work: b<=32 rows — duplicating it
             # beats broadcasting activations at serving batch sizes
-            tg, ts = model.apply(v, ids, method=model.encode_text)
+            if tme:  # TME: condition on the psum-gathered ref patches
+                tg, ts = model.apply(v, ids, visual_emb=rp,
+                                     method=model.encode_text)
+            else:
+                tg, ts = model.apply(v, ids, method=model.encode_text)
             pred = model.apply(
                 v, rf, rp, tg.astype(jnp.float32), ts.astype(jnp.float32),
                 method=model.query)
@@ -727,7 +766,7 @@ def generate_predictions(
         caps = caption_fn(batch)
         ids = api.tokenize(caps)
         n = len(caps)
-        tg, tseq = api.encode_text(ids)
+        tg, tseq = api.encode_text(ids, visual_emb=batch["ref_patch"])
         ref_rows = np.asarray([rows[r] for r in batch[ref_key]])
         ref_feats = gallery.features[ref_rows]
         preds.append(api.query(ref_feats, batch["ref_patch"], tg, tseq)[:n])

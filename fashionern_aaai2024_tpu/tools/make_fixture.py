@@ -280,16 +280,29 @@ def make_shoes(root: str, n_images: int = 12, n_triplets: int = 6,
 
 
 def make_fashion200k(root: str, n_per_color: int = 3, dim: int = 512,
-                     patch_num: int = 13, seed: int = 0) -> None:
+                     patch_num: int = 13, seed: int = 0,
+                     learnable: bool = False,
+                     n_queries: int = 8) -> None:
     """Captions differ by exactly one word across groups so the
-    pair-generation / word-diff algorithm has real work to do."""
+    pair-generation / word-diff algorithm has real work to do.
+
+    `learnable=True` renders each image with its caption's visible
+    (color, pattern) attributes, so the multi-positive test protocol
+    (any top-K image sharing the target CAPTION counts,
+    `run/test/test_200k.py:53-60`) measures learned attribute retrieval
+    rather than noise — the accuracy soak's 200k leg."""
     rng = random.Random(seed)
     os.makedirs(os.path.join(root, "labels"), exist_ok=True)
+    if learnable:
+        colors = list(_ATTR_RGB)[:4]
+        styles = list(_ATTR_PATTERNS[:2])
+    else:
+        colors, styles = _COLORS[:4], _STYLES[:2]
     entries = {"train": [], "test": []}
     for split in ("train", "test"):
         k = 0
-        for color in _COLORS[:4]:
-            for style in _STYLES[:2]:
+        for color in colors:
+            for style in styles:
                 for i in range(n_per_color):
                     path = (f"women/dresses/{split}_{color}_{style}_{i}/"
                             f"img_{k}.jpeg")
@@ -304,7 +317,11 @@ def make_fashion200k(root: str, n_per_color: int = 3, dim: int = 512,
     for split, ents in entries.items():
         for path, caption in ents:
             all_caps.append(caption)
-            _write_image(os.path.join(root, path), rng)
+            if learnable:
+                color, style = caption.split()[:2]
+                _write_attr_image(os.path.join(root, path), rng, color, style)
+            else:
+                _write_image(os.path.join(root, path), rng)
             pdir = os.path.join(
                 root, os.path.dirname(path).replace("women", "local_features"))
             os.makedirs(pdir, exist_ok=True)
@@ -313,13 +330,23 @@ def make_fashion200k(root: str, n_per_color: int = 3, dim: int = 512,
             ).standard_normal((patch_num, dim)).astype(np.float32)
             np.save(os.path.join(
                 root, path.replace("women", "local_features") + ".npy"), feats)
-    # test queries: pairs whose captions differ in one word
+    # test queries: pairs whose captions differ in one word (rejection-
+    # sample so exactly n_queries lines are written, capped for safety)
     test = entries["test"]
+    lines = []
+    for _ in range(50 * n_queries):
+        if len(lines) >= n_queries:
+            break
+        a, b = rng.sample(test, 2)
+        if a[1] != b[1]:
+            lines.append(f"{a[0]} {b[0]}")
     with open(os.path.join(root, "test_queries.txt"), "w") as f:
-        for _ in range(8):
-            a, b = rng.sample(test, 2)
-            if a[1] != b[1]:
-                f.write(f"{a[0]} {b[0]}\n")
+        f.write("\n".join(lines) + "\n")
+    if learnable:
+        attrs = {p: c.split()[:2] for p, c in
+                 entries["train"] + entries["test"]}
+        with open(os.path.join(root, "fixture_attrs.json"), "w") as f:
+            json.dump(attrs, f)
     write_bpe_table(root, all_caps)
 
 
@@ -335,7 +362,9 @@ def make_fixture(root: str, dataset: str, dim: int = 512,
                  patch_num: int = 13, seed: int = 0,
                  n_images: int | None = None,
                  n_triplets: int | None = None,
-                 learnable: bool = False) -> str:
+                 learnable: bool = False,
+                 n_per_color: int | None = None,
+                 n_queries: int | None = None) -> str:
     """`n_images`/`n_triplets` scale the per-type universe (fashioniq /
     cirr / shoes makers): the defaults make a seconds-fast plumbing
     fixture; the accuracy soak (benchmarks/accuracy_soak.py) uses a
@@ -349,18 +378,24 @@ def make_fixture(root: str, dataset: str, dim: int = 512,
     The name→attrs map is written to fixture_attrs.json."""
     os.makedirs(root, exist_ok=True)
     kw = dict(dim=dim, patch_num=patch_num, seed=seed)
-    if n_images is not None:
-        kw["n_images"] = n_images
-    if n_triplets is not None:
-        kw["n_triplets"] = n_triplets
-    if learnable:
-        kw["learnable"] = True
-    try:
-        MAKERS[dataset](root, **kw)
-    except TypeError:
-        # fashion200k sizes by n_per_color, not n_images/n_triplets
-        kw.pop("n_images", None)
-        kw.pop("n_triplets", None)
-        kw.pop("learnable", None)
-        MAKERS[dataset](root, **kw)
+    # dispatch on the maker's actual signature instead of catching
+    # TypeError: a TypeError raised INSIDE a maker body must propagate,
+    # and flags a maker does not support must be reported, not dropped
+    # (fashion200k sizes by n_per_color, not n_images/n_triplets)
+    import inspect
+
+    accepted = set(inspect.signature(MAKERS[dataset]).parameters)
+    requested = {"n_images": n_images, "n_triplets": n_triplets,
+                 "learnable": learnable or None,
+                 "n_per_color": n_per_color, "n_queries": n_queries}
+    for name, value in requested.items():
+        if value is None:
+            continue
+        if name in accepted:
+            kw[name] = value if name != "learnable" else True
+        else:
+            raise ValueError(
+                f"--{name.replace('_', '-')} is not supported by the "
+                f"{dataset!r} fixture maker (accepts: {sorted(accepted)})")
+    MAKERS[dataset](root, **kw)
     return root

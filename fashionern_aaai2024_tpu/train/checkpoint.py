@@ -44,18 +44,37 @@ def _split_state(state: CIRTrainState) -> tuple[dict, dict]:
     return mutable, frozen
 
 
+# frozen subtrees THIS PROCESS has written: fpath -> fingerprint. The
+# skip decision for fingerprinted saves reads only this memo — never the
+# filesystem — so (a) a fresh run reusing a previous run's ckpt_dir with
+# a different init seed / CLIP source rewrites `.frozen` instead of
+# silently keeping stale towers, and (b) in multi-process training every
+# process makes the IDENTICAL decision from its identical call sequence
+# (an os.path.isdir vote can skew across hosts and desync the collective
+# Orbax save; an explicit broadcast collective measured worse — it opens
+# its own gloo channel and times out under scheduling skew).
+_frozen_written: dict[str, str] = {}
+
+
 def save_state(path: str, state: CIRTrainState, *, force: bool = True,
-               frozen: str = "auto") -> None:
+               frozen: str = "auto",
+               frozen_fingerprint: str | None = None) -> None:
     """Write the train state (resume point) to `path`.
 
     frozen="auto" (default) uses the SPLIT layout: the mutable subtree
     (trainable params, opt state, ERN BN stats, step, rng) is written to
     `path` on every call, while the frozen CLIP subtree goes to
-    `path + ".frozen"` only once — it cannot change within a run, so a
-    periodic save skips re-serializing it (recipe-scale RN50x4: 340 MiB
-    of 1865 MiB per save, and this host's device→host path is the save
-    bottleneck). frozen="full" writes the legacy single-tree layout.
-    `restore_state` reads both transparently."""
+    `path + ".frozen"` only once per run — it cannot change within a
+    run, so a periodic save skips re-serializing it (recipe-scale
+    RN50x4: 340 MiB of 1865 MiB per save, and this host's device→host
+    path is the save bottleneck). `frozen_fingerprint` identifies the
+    frozen towers (init seed + CLIP source, see
+    Trainer.save_resume_checkpoint); the first fingerprinted save of a
+    process always writes, so a run reusing another run's ckpt_dir can
+    never keep stale towers. Without a fingerprint (legacy/demo
+    callers) existence skips, as before. frozen="full" writes the
+    legacy single-tree layout. `restore_state` reads both
+    transparently."""
     path = os.path.abspath(path)
     if frozen == "full":
         _checkpointer().save(path, args=ocp.args.PyTreeSave(state),
@@ -63,8 +82,14 @@ def save_state(path: str, state: CIRTrainState, *, force: bool = True,
         return
     mutable, fr = _split_state(state)
     fpath = path + ".frozen"
-    if not os.path.isdir(fpath):
+    if frozen_fingerprint is not None:
+        skip_frozen = _frozen_written.get(fpath) == frozen_fingerprint
+    else:
+        skip_frozen = os.path.isdir(fpath)
+    if not skip_frozen:
         _checkpointer().save(fpath, args=ocp.args.PyTreeSave(fr), force=force)
+        if frozen_fingerprint is not None:
+            _frozen_written[fpath] = frozen_fingerprint
     _checkpointer().save(path, args=ocp.args.PyTreeSave(mutable), force=force)
 
 

@@ -78,6 +78,16 @@ class TrainConfig:
     quantize_towers: bool = False           # int8 frozen-tower MLPs in the train step
     ckpt_every_steps: int | None = None     # periodic resume checkpoint (kill-safety)
     prefetch_batches: int = 2               # host→device prefetch depth (0 = serial feed)
+    tme: bool = False                       # TME text-enhancement branch
+    # (models/clip/text.py): text tokens cross-attend the ref patches,
+    # zero-init so training starts AT the vanilla function — the
+    # reconstruction of the reference's closed-source fork
+    # (`run/valid/validate_fiq.py:86-88`; README.md:41).
+    validate_200k: bool = False             # opt-in in-training validation for
+    # fashion200k: the reference skips it because the real test gallery is
+    # too large per epoch (`base_trainer.py:50-53` points at test_200k.py);
+    # at fixture/soak scale the multi-positive eval is affordable and gives
+    # best-checkpoint selection the other three datasets get.
     # quantize_towers is the fallback for datasets whose image set does
     # not fit the feature cache: the full step is ~80% frozen-tower
     # forward (BASELINE.md r3 roofline), the towers sit behind
@@ -207,6 +217,38 @@ def _shoes_validator(cfg: TrainConfig):
     return run
 
 
+def _200k_validator(cfg: TrainConfig):
+    """Opt-in (cfg.validate_200k): the reference never validates 200k
+    in-training (`base_trainer.py:50-53`; run test_200k.py per ckpt).
+    At fixture/soak scale the test-split multi-positive eval
+    (`run/test/test_200k.py:53-60` semantics) is cheap, and running it
+    per epoch gives 200k the same train→validate→select chain as the
+    other datasets. Returns None unless opted in — validator=None keeps
+    the reference's skip behavior."""
+    if not cfg.validate_200k:
+        return None
+    from fashionern_aaai2024_tpu.data.fashion200k import (
+        Fashion200kTestDataset, Fashion200kTestQueryDataset,
+    )
+
+    dim = get_clip_config(cfg.clip_model_name).input_dim
+
+    def run(api: E.InferenceAPI):
+        classic = Fashion200kTestDataset(cfg.data_root, split="test", dim=dim,
+                                         target_ratio=cfg.target_ratio)
+        relative = Fashion200kTestQueryDataset(cfg.data_root, split="test",
+                                               dim=dim,
+                                               target_ratio=cfg.target_ratio)
+        m = E.evaluate_fashion200k(
+            api,
+            Loader(classic, cfg.eval_batch_size, num_workers=cfg.num_workers, worker_type=cfg.worker_type),
+            Loader(relative, cfg.eval_batch_size, num_workers=cfg.num_workers, worker_type=cfg.worker_type),
+        )
+        return m["avg"], m
+
+    return run
+
+
 PLUGINS: dict[str, DatasetPlugin] = {
     "fashioniq": DatasetPlugin(
         "fashioniq", _make_fiq_train, _fiq_captions, make_validator=_fiq_validator
@@ -218,10 +260,11 @@ PLUGINS: dict[str, DatasetPlugin] = {
         "shoes", _make_shoes_train, _shoes_captions, make_validator=_shoes_validator
     ),
     "fashion200k": DatasetPlugin(
-        # No in-training validation (gallery too large; reference
-        # `base_trainer.py:50-53` skips it and points at test_200k.py).
+        # In-training validation is opt-in via cfg.validate_200k
+        # (default off: gallery too large; reference `base_trainer.py:50-53`
+        # skips it and points at test_200k.py).
         "fashion200k", _make_200k_train, _plain_captions, ref_key="ref_id",
-        make_validator=None,
+        make_validator=_200k_validator,
         on_epoch=lambda ds, epoch: getattr(ds, "resample_epoch", lambda: None)(),
     ),
 }
@@ -252,6 +295,7 @@ class Trainer:
         self.clip_cfg = get_clip_config(
             cfg.clip_model_name, cfg.activation,
             quantize_mlp=True if cfg.quantize_towers else None,
+            tme=True if cfg.tme else None,
         ) if model is None else model.clip_config
         self.model = model or ComposedCIRModel(self.clip_cfg, patch_num=cfg.patch_num)
 
@@ -532,6 +576,7 @@ class Trainer:
         # trained params into noise (load_model_variables honors this)
         meta = {"init_seed": self.cfg.seed,
                 "clip_model_name": self.cfg.clip_model_name,
+                "tme": self.clip_cfg.text.tme,
                 "clip_from_checkpoint": getattr(
                     self, "_clip_from_checkpoint", False)}
         if self.best.update(metric, best_tree, meta=meta):
@@ -554,7 +599,7 @@ class Trainer:
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
-            self.best.best_metric = float(meta["best_metric"])
+            self.best.best_metric = float(meta.get("best_metric", float("-inf")))
             if meta.get("clip_from_checkpoint"):
                 self._clip_from_checkpoint = True
         self.logger.log(step=self.global_step, resumed_from=self.cfg.resume_path,
@@ -584,12 +629,23 @@ class Trainer:
 
     def save_resume_checkpoint(self, path: str | None = None) -> str:
         path = path or os.path.join(self.cfg.ckpt_dir, f"{self.cfg.dataset}-resume")
-        save_state(path, self.state)
+        # fingerprint the frozen towers so a later run reusing this
+        # ckpt_dir with a different init seed / CLIP source rewrites
+        # `.frozen` instead of silently keeping this run's towers
+        fingerprint = json.dumps({
+            "init_seed": self.cfg.seed,
+            "clip_model_name": self.cfg.clip_model_name,
+            "clip_from_checkpoint": getattr(self, "_clip_from_checkpoint", False),
+        }, sort_keys=True)
+        save_state(path, self.state, frozen_fingerprint=fingerprint)
         # best-checkpoint selection must survive the restart too, or a
         # resumed run would re-save a WORSE model as "best"
-        meta = {"best_metric": self.best.best_metric,
-                "clip_from_checkpoint": getattr(
+        meta = {"clip_from_checkpoint": getattr(
                     self, "_clip_from_checkpoint", False)}
+        if self.best.best_metric != float("-inf"):
+            # -inf would serialize as the non-standard JSON token
+            # -Infinity; omit it until a validation has actually run
+            meta["best_metric"] = self.best.best_metric
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
         return path

@@ -250,6 +250,50 @@ class TestCheckpoint:
                         jax.tree_util.tree_leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_frozen_fingerprint_rewrites_stale_towers(self, tmp_path):
+        """ADVICE r4 (medium): a fresh run reusing a previous run's
+        ckpt_dir with different frozen towers (other init seed / other
+        loaded CLIP weights) must REWRITE <path>.frozen, not silently
+        keep the stale towers; within one run the skip optimization
+        stays. The decision is a process-local memo — no filesystem
+        vote, no collective — so multi-process saves can never desync
+        on it."""
+        from fashionern_aaai2024_tpu.train import checkpoint as C
+
+        model = tiny_model()
+        batch = tiny_batch(np.random.default_rng(0), b=4)
+        v1 = init_variables(model, batch)
+        opt = optax.adam(1e-3)
+        path = str(tmp_path / "ckpt")
+        fpath = path + ".frozen"
+
+        C._frozen_written.clear()  # fresh-process state, run 1
+        s1 = create_train_state(v1, opt, jax.random.PRNGKey(1))
+        save_state(path, s1, frozen_fingerprint="seed=1")
+        mtime = os.path.getmtime(fpath)
+        save_state(path, s1, frozen_fingerprint="seed=1")  # periodic
+        assert os.path.getmtime(fpath) == mtime  # same-run skip kept
+
+        # run 2: same ckpt_dir, DIFFERENT towers (the r4 silent-staleness
+        # scenario). A fresh process starts with an empty memo.
+        C._frozen_written.clear()
+        v2 = jax.tree_util.tree_map(lambda x: x, v1)
+        v2 = {
+            "params": {
+                "clip": jax.tree_util.tree_map(
+                    lambda x: x + 1.0, v1["params"]["clip"]),
+                "ern": v1["params"]["ern"],
+            },
+            **({"batch_stats": v1["batch_stats"]} if "batch_stats" in v1 else {}),
+        }
+        s2 = create_train_state(v2, opt, jax.random.PRNGKey(1))
+        save_state(path, s2, frozen_fingerprint="seed=2")
+        template = create_train_state(v1, opt, jax.random.PRNGKey(1))
+        restored = restore_state(path, template)
+        for a, b in zip(jax.tree_util.tree_leaves(s2.clip_params),
+                        jax.tree_util.tree_leaves(restored.clip_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_best_checkpointer(self, tmp_path):
         bc = BestCheckpointer(str(tmp_path / "ckpt"), "fiq")
         params = {"w": np.ones((2, 2), np.float32)}
@@ -471,6 +515,55 @@ class TestResume:
         tr2 = _synthetic_trainer(tmp_path, num_epochs=2, resume_path=path)
         tr2.maybe_resume()
         assert tr2.best.best_metric == 0.75
+
+
+class TestTMETraining:
+    def test_tme_trains_loss_decreases_params_move_off_zero(self, tmp_path):
+        """VERDICT r4 #6: `tme=True` must actually LEARN. The module
+        lives in the trainable ERN subtree (models/ern/tme.py) — the r4
+        in-tower placement sat behind the frozen-CLIP stop_gradient and
+        could never move. Asserts: stable training (finite, decreasing
+        loss) and the zero-initialized cross-attn output projection
+        moving off zero."""
+        from fashionern_aaai2024_tpu.train.trainer import (
+            DatasetPlugin, TrainConfig, Trainer, _fiq_captions,
+        )
+
+        tme_cfg = dataclasses.replace(
+            TINY, text=dataclasses.replace(TINY.text, tme=True))
+        model = composed.ComposedCIRModel(tme_cfg, patch_num=13)
+        losses = []
+        plugin = DatasetPlugin(
+            "synthetic", lambda c: SyntheticRelativeDataset(), _fiq_captions
+        )
+        cfg = TrainConfig(
+            dataset="fashioniq", batch_size=4, num_epochs=3, lr=1e-3,
+            num_workers=0, ckpt_dir=str(tmp_path / "ckpt"),
+            print_frequency=1000,
+        )
+        tr = Trainer(
+            cfg, mesh=meshlib.create_mesh(2), model=model,
+            train_dataset=SyntheticRelativeDataset(), validator=None,
+            plugin=plugin, tokenizer=fake_tokenizer,
+        )
+        out0 = np.asarray(
+            tr.state.ern_params["TME"]["cross_attn"]["out"]["kernel"])
+        assert np.all(out0 == 0.0)  # zero-init start (vanilla parity)
+        orig = tr.step_fn
+
+        def recording(state, batch):
+            state, loss = orig(state, batch)
+            losses.append(float(loss))
+            return state, loss
+
+        tr.step_fn = recording
+        state = tr.train()
+        assert all(np.isfinite(losses)), losses
+        k = max(1, len(losses) // 4)
+        assert np.mean(losses[-k:]) < np.mean(losses[:k]), losses
+        out1 = np.asarray(
+            state.ern_params["TME"]["cross_attn"]["out"]["kernel"])
+        assert np.abs(out1).max() > 0.0, "TME params never moved"
 
 
 class TestGlobalNegatives:
