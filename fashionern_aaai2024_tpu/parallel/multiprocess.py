@@ -179,6 +179,37 @@ def _build_demo(mesh, n_global_devices: int):
     return prog.fresh_state, prog.step, prog.batch_for
 
 
+def _gang_barrier(tag: str, timeout_ms: int = 1_200_000) -> None:
+    """Cross-process rendezvous over the coordination service (gRPC) —
+    deliberately NOT a device collective. The gloo CPU-collectives
+    backend bootstraps its context at the gang's FIRST collective
+    execution with a hard ~30 s key-exchange timeout; two peers whose
+    import/trace/compile phases skew by more than that on a contended
+    host fail context init (observed: `Gloo context initialization
+    failed: DEADLINE_EXCEEDED: GetKeyValue() timed out`). Workers
+    AOT-compile, hit this barrier, then execute — so peers enter the
+    gloo bootstrap within milliseconds of each other regardless of how
+    unfairly the host scheduled their compiles. No-op single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(
+        f"fashionern_gang_{tag}", timeout_ms)
+
+
+def _aot_step(step, state, batch):
+    """AOT-compile `step` for (state, batch) so execution can be
+    separated from compilation (see `_gang_barrier`); falls back to the
+    plain jitted callable if lowering is unsupported."""
+    try:
+        return step.lower(state, batch).compile()
+    except Exception:
+        return step
+
+
 def _demo_run(mesh, n_global_devices: int, *, steps: int = 1,
               save_path: str | None = None,
               restore_path: str | None = None,
@@ -198,9 +229,13 @@ def _demo_run(mesh, n_global_devices: int, *, steps: int = 1,
     from fashionern_aaai2024_tpu.train.checkpoint import save_state
 
     losses = []
+    run = None
     for _ in range(steps):
         batch = batch_for(state)
-        state, loss = step(state, batch)
+        if run is None:  # compile apart from execution, then rendezvous
+            run = _aot_step(step, state, batch)
+            _gang_barrier("demo_first_collective")
+        state, loss = run(state, batch)
         losses.append(float(loss))
         if save_at_step is not None and int(state.step) == save_at_step:
             assert save_path, "save_at_step requires save_path"
@@ -231,11 +266,14 @@ def _portability_pair_run(mesh, n_global_devices: int, save_path: str,
     fresh_state, step, batch_for = _build_demo(mesh, n_global_devices)
 
     state = fresh_state()
-    state, c0 = step(state, batch_for(state))
+    batch = batch_for(state)
+    run = _aot_step(step, state, batch)  # compile BEFORE the rendezvous
+    _gang_barrier("pair_first_collective")
+    state, c0 = run(state, batch)
     save_state(save_path, state)  # collective across the gang
 
     restored = restore_state(restore_path, fresh_state())
-    restored, b1 = step(restored, batch_for(restored))
+    restored, b1 = run(restored, batch_for(restored))
     return {"c0": float(c0), "b1": float(b1)}
 
 
@@ -265,9 +303,17 @@ def worker_main(process_id: int, num_processes: int, coordinator: str,
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
     _child_env_prelude()
+    # Generous liveness budgets: on a contended 1-core host a starved
+    # gang member can trail its peer by minutes at the shutdown barrier
+    # (observed DEADLINE_EXCEEDED with the 300 s default while an
+    # on-chip soak shared the core); these gangs validate checkpoint
+    # semantics, not failure detection, so slow != dead here.
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
-                               process_id=process_id)
+                               process_id=process_id,
+                               initialization_timeout=1200,
+                               heartbeat_timeout_seconds=600,
+                               shutdown_timeout_seconds=1200)
     from fashionern_aaai2024_tpu.parallel import mesh as meshlib
 
     n = num_processes * devices_per_process
