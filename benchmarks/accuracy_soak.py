@@ -54,15 +54,29 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
-def run_cli(args_list, env, tag, capture_json=False, attempts=3, clean=()):
+def run_cli(args_list, env, tag, capture_json=False, attempts=3, clean=(),
+            stage_timeout=5400):
+    """`stage_timeout` is a hung-RPC watchdog, not a perf budget: a
+    tunnel outage can leave a CLI child blocked forever on a dead RPC
+    (observed: a train stage at ~35 s of CPU after 45 min of wall);
+    the timeout kills it and retries like any other transient flake —
+    every stage is idempotent under the banking protocol."""
     print(f"[soak] $ fashionern {' '.join(args_list)}", flush=True)
     t0 = time.time()
     for i in range(attempts):
         for path in clean:  # append-mode logs must not survive a retry
             if os.path.exists(path):
                 os.remove(path)
-        r = subprocess.run(CLI + args_list, env=env, capture_output=True,
-                           text=True)
+        try:
+            r = subprocess.run(CLI + args_list, env=env, capture_output=True,
+                               text=True, timeout=stage_timeout)
+        except subprocess.TimeoutExpired:
+            if i + 1 >= attempts:
+                raise SystemExit(f"{tag} hung past {stage_timeout}s "
+                                 f"{attempts} times")
+            print(f"[soak] {tag}: hung past {stage_timeout}s (dead tunnel "
+                  f"RPC?), killed; retry {i + 2}/{attempts}", flush=True)
+            continue
         if r.returncode == 0:
             break
         transient = any(sig in r.stderr for sig in (
